@@ -1,0 +1,60 @@
+"""Deterministic media-span text recovery (the OCR stand-in).
+
+In production the seam below is where a real OCR engine (pytesseract /
+easyocr) plugs in, batch-at-a-time.  In this sandbox no OCR engine exists, so
+a media span's ``media_ref`` carries its own deterministic payload
+(FIXTURES.md §3)::
+
+    m:<doc_id>:<offset>:<b32payload>
+
+where ``b32payload`` is base32(zlib(json)) of::
+
+    {"tokens": [[y, x, "token_text", conf], ...],   # unsorted, EasyOCR-like
+     "qc": {"w", "h", "blur", "brightness", "contrast", "skew"}}
+
+Recovery mirrors the reference's EasyOCR post-processing exactly:
+tokens sorted by (top-left y, x) (reference: backend/ocr_service.py:41),
+joined with newlines (:52), stripped (:57); confidence is the mean token
+confidence scaled to percent (:49-55).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+from typing import Any
+
+MEDIA_REF_PREFIX = "m:"
+
+# QC metrics reported when a media payload is unreadable: fails every gate.
+_QC_UNREADABLE = {
+    "w": 0, "h": 0, "blur": 0.0, "brightness": 0.0, "contrast": 0.0, "skew": 0.0,
+}
+
+
+def encode_media_ref(doc_id: str, offset: int, tokens: list, qc: dict) -> str:
+    """Inverse of :func:`decode_media_ref`; used by the fixture generator."""
+    blob = json.dumps({"tokens": tokens, "qc": qc}, separators=(",", ":"))
+    payload = base64.b32encode(zlib.compress(blob.encode("utf-8"))).decode("ascii")
+    return f"{MEDIA_REF_PREFIX}{doc_id}:{offset}:{payload}"
+
+
+def decode_media_ref(media_ref: str) -> tuple[str, float, dict[str, Any]]:
+    """Recover ``(page_text, confidence_pct, qc_metrics)`` from a media ref.
+
+    This is the pluggable OCR seam: swap the payload decode for a real
+    engine call and keep the (sort, join, mean-confidence) contract.
+    """
+    try:
+        payload = media_ref.split(":", 3)[3]
+        blob = zlib.decompress(base64.b32decode(payload))
+        doc = json.loads(blob)
+    except Exception:
+        return "", 0.0, dict(_QC_UNREADABLE)
+
+    tokens = sorted(doc.get("tokens", []), key=lambda t: (t[0], t[1]))
+    text = "\n".join(t[2] for t in tokens).strip()
+    confs = [float(t[3]) * 100.0 for t in tokens]
+    avg_conf = sum(confs) / len(confs) if confs else 0.0
+    return text, avg_conf, doc.get("qc", dict(_QC_UNREADABLE))

@@ -1,0 +1,136 @@
+"""Single-document oracle pipeline (no Spark).
+
+Runs the exact span->out_spans transformation the Spark pipeline must
+reproduce, one document at a time.  The Spark operators import and call the
+same functions from this package, so per-document span-sequence equality
+``(kind, text, media_ref, order)`` is by construction — and this module is
+what the pytest oracle executes to build the golden table (SURVEY.md §5.2).
+
+Lifecycle mirrored from the reference's live path (backend/main.py:94-234):
+
+1. recover page text per span in offset order (media spans decoded via the
+   deterministic OCR stand-in; born-digital text spans pass through with the
+   85.0 default confidence the reference assigns to pre-extracted text,
+   backend/ocr_service.py:1536),
+2. quality gate on the first media span's metrics
+   (backend/image_quality_checker.py first-page probe :242-254),
+3. classify the offset-ordered concatenated text with the enhanced
+   classifier; reject below confidence 40 or UNKNOWN (backend/main.py:162),
+4. per-page field extraction with first-match-wins merge across pages
+   (backend/ocr_service.py:1609-1625),
+5. status: completed when >=30% of the type's expected fields extracted
+   (backend/ocr_service.py:1641).
+
+Output span layout (FIXTURES.md §2): order 0 = doc_type span, orders 1..P =
+per-page raw text (media_ref set for media-derived pages), then one
+``field:<name>`` span per extracted field in dict-insertion order.
+Rejected documents emit a single ``status`` span.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .classify import classify_enhanced
+from .doc_types import extract_fields
+from .media import decode_media_ref
+from .quality import quality_passed
+from .registry import CLASSIFY_MIN_CONFIDENCE, COMPLETED_FIELD_FRACTION, expected_field_count
+
+TEXT_SPAN_CONFIDENCE = 85.0  # backend/ocr_service.py:1536 (pre-extracted text)
+
+OutSpan = Tuple[str, Optional[str], Optional[str], int]
+
+
+def recover_pages(spans: Sequence[Any]) -> List[Dict[str, Any]]:
+    """Spans (any order) -> offset-ordered pages with recovered text."""
+    pages = []
+    for span in sorted(spans, key=lambda s: s["offset"] if isinstance(s, dict) else s.offset):
+        if not isinstance(span, dict):
+            span = {"kind": span.kind, "text": span.text,
+                    "media_ref": span.media_ref, "offset": span.offset}
+        if span["kind"] == "media":
+            text, conf, qc = decode_media_ref(span["media_ref"] or "")
+            pages.append({"text": text, "confidence": conf,
+                          "media_ref": span["media_ref"], "qc": qc})
+        else:
+            pages.append({"text": span["text"] or "",
+                          "confidence": TEXT_SPAN_CONFIDENCE,
+                          "media_ref": None, "qc": None})
+    return pages
+
+
+def process_document(doc_id: str, spans: Sequence[Any],
+                     skip_quality_check: bool = False) -> Dict[str, Any]:
+    """Full oracle pipeline for one document."""
+    pages = recover_pages(spans)
+    raw_text = "\n".join(p["text"] for p in pages)
+
+    result: Dict[str, Any] = {
+        "doc_id": doc_id,
+        "pages": pages,
+        "raw_text": raw_text,
+        "document_type": None,
+        "classify_confidence": 0.0,
+        "fields": {},
+        "overall_confidence": 0.0,
+        "status": None,
+        "n_pages": len(pages),
+    }
+
+    # quality gate: probe the FIRST media span only (cheap-first, reference
+    # renders page 1 at reduced dpi for the same reason)
+    if not skip_quality_check:
+        first_media_qc = next((p["qc"] for p in pages if p["qc"] is not None), None)
+        if first_media_qc is not None and not quality_passed(
+                first_media_qc.get("w", 0), first_media_qc.get("h", 0),
+                first_media_qc.get("blur", 0.0), first_media_qc.get("brightness", 0.0),
+                first_media_qc.get("contrast", 0.0)):
+            result["status"] = "rejected_quality"
+            result["out_spans"] = [("status", "rejected_quality", None, 0)]
+            return result
+
+    doc_type, conf = classify_enhanced(raw_text)
+    result["document_type"] = doc_type
+    result["classify_confidence"] = conf
+    if doc_type == "UNKNOWN" or conf < CLASSIFY_MIN_CONFIDENCE:
+        result["status"] = "rejected_classification"
+        result["out_spans"] = [("status", "rejected_classification", None, 0)]
+        return result
+
+    # per-page extraction, first-match-wins across pages
+    fields: Dict[str, Dict[str, Any]] = {}
+    for page_num, page in enumerate(pages, start=1):
+        for name, data in extract_fields(page["text"], doc_type).items():
+            if name not in fields:
+                fields[name] = {"value": data["value"],
+                                "confidence": data["confidence"],
+                                "page": page_num,
+                                "media_ref": page["media_ref"]}
+    result["fields"] = fields
+
+    confs = [p["confidence"] for p in pages]
+    result["overall_confidence"] = sum(confs) / len(confs) if confs else 0.0
+
+    expected = expected_field_count(doc_type)
+    if fields and len(fields) >= expected * COMPLETED_FIELD_FRACTION:
+        result["status"] = "completed"
+    else:
+        result["status"] = "partial"
+
+    out: List[OutSpan] = [("doc_type", doc_type, None, 0)]
+    for i, page in enumerate(pages, start=1):
+        out.append(("raw_text", page["text"], page["media_ref"], i))
+    order = len(pages) + 1
+    for name, data in fields.items():
+        value = data["value"]
+        out.append((f"field:{name}",
+                    None if value is None else str(value),
+                    data["media_ref"], order))
+        order += 1
+    result["out_spans"] = out
+    return result
+
+
+def out_spans_for_document(doc_id: str, spans: Sequence[Any]) -> List[OutSpan]:
+    return process_document(doc_id, spans)["out_spans"]
