@@ -60,12 +60,17 @@ def recover_pages(spans: Sequence[Any]) -> List[Dict[str, Any]]:
     return pages
 
 
-def process_document(doc_id: str, spans: Sequence[Any],
-                     skip_quality_check: bool = False) -> Dict[str, Any]:
-    """Full oracle pipeline for one document."""
-    pages = recover_pages(spans)
-    raw_text = "\n".join(p["text"] for p in pages)
+def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
+                      quality_ok: bool) -> Dict[str, Any]:
+    """Steps 3-5 over already-recovered pages.
 
+    This is the exact function the Spark finalize stage (mapInPandas) calls
+    per document, with ``quality_ok`` computed natively JVM-side; the oracle
+    calls it with the Python gate.  Sharing it is what makes span-sequence
+    equality structural rather than aspirational.
+    """
+    raw_text = "\n".join(p["text"] for p in pages)
+    confs = [p["confidence"] for p in pages]
     result: Dict[str, Any] = {
         "doc_id": doc_id,
         "pages": pages,
@@ -73,22 +78,15 @@ def process_document(doc_id: str, spans: Sequence[Any],
         "document_type": None,
         "classify_confidence": 0.0,
         "fields": {},
-        "overall_confidence": 0.0,
+        "overall_confidence": sum(confs) / len(confs) if confs else 0.0,
         "status": None,
         "n_pages": len(pages),
     }
 
-    # quality gate: probe the FIRST media span only (cheap-first, reference
-    # renders page 1 at reduced dpi for the same reason)
-    if not skip_quality_check:
-        first_media_qc = next((p["qc"] for p in pages if p["qc"] is not None), None)
-        if first_media_qc is not None and not quality_passed(
-                first_media_qc.get("w", 0), first_media_qc.get("h", 0),
-                first_media_qc.get("blur", 0.0), first_media_qc.get("brightness", 0.0),
-                first_media_qc.get("contrast", 0.0)):
-            result["status"] = "rejected_quality"
-            result["out_spans"] = [("status", "rejected_quality", None, 0)]
-            return result
+    if not quality_ok:
+        result["status"] = "rejected_quality"
+        result["out_spans"] = [("status", "rejected_quality", None, 0)]
+        return result
 
     doc_type, conf = classify_enhanced(raw_text)
     result["document_type"] = doc_type
@@ -109,9 +107,6 @@ def process_document(doc_id: str, spans: Sequence[Any],
                                 "media_ref": page["media_ref"]}
     result["fields"] = fields
 
-    confs = [p["confidence"] for p in pages]
-    result["overall_confidence"] = sum(confs) / len(confs) if confs else 0.0
-
     expected = expected_field_count(doc_type)
     if fields and len(fields) >= expected * COMPLETED_FIELD_FRACTION:
         result["status"] = "completed"
@@ -130,6 +125,29 @@ def process_document(doc_id: str, spans: Sequence[Any],
         order += 1
     result["out_spans"] = out
     return result
+
+
+def document_quality_ok(pages: Sequence[Dict[str, Any]],
+                        skip_quality_check: bool = False) -> bool:
+    """Gate on the FIRST media span's metrics only (cheap-first; reference
+    renders page 1 at reduced dpi for the same reason)."""
+    if skip_quality_check:
+        return True
+    first_media_qc = next((p["qc"] for p in pages if p.get("qc") is not None), None)
+    if first_media_qc is None:
+        return True  # born-digital document: nothing to gate on
+    return quality_passed(
+        first_media_qc.get("w", 0), first_media_qc.get("h", 0),
+        first_media_qc.get("blur", 0.0), first_media_qc.get("brightness", 0.0),
+        first_media_qc.get("contrast", 0.0))
+
+
+def process_document(doc_id: str, spans: Sequence[Any],
+                     skip_quality_check: bool = False) -> Dict[str, Any]:
+    """Full oracle pipeline for one document."""
+    pages = recover_pages(spans)
+    return process_recovered(
+        doc_id, pages, document_quality_ok(pages, skip_quality_check))
 
 
 def out_spans_for_document(doc_id: str, spans: Sequence[Any]) -> List[OutSpan]:

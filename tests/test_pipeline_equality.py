@@ -1,0 +1,72 @@
+"""The correctness gate: per-document span-sequence equality
+(kind, text, media_ref, order) between the Spark pipeline and the
+single-node oracle (BASELINE.json per-row invariant).
+"""
+
+import pytest
+
+from ocr_documents_spark.extractors.pipeline_pure import process_document
+from ocr_documents_spark.fixtures.gen import generate_docs
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_docs(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark, corpus):
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA, run_pipeline
+    docs = spark.createDataFrame(
+        [(d["doc_id"],
+          [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in corpus],
+        DOCS_SCHEMA)
+    rows = run_pipeline(docs).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_span_sequence_equality(spark_results, corpus):
+    assert len(spark_results) == N_DOCS
+    mismatches = []
+    for d in corpus:
+        golden = process_document(d["doc_id"], d["spans"])
+        got = spark_results[d["doc_id"]]
+        got_spans = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                     for s in got["out_spans"]]
+        if got_spans != golden["out_spans"]:
+            mismatches.append((d["doc_id"], golden["out_spans"], got_spans))
+    assert not mismatches, f"{len(mismatches)} docs mismatch; first: {mismatches[0]}"
+
+
+def test_status_and_confidence_equality(spark_results, corpus):
+    for d in corpus:
+        golden = process_document(d["doc_id"], d["spans"])
+        got = spark_results[d["doc_id"]]
+        assert got["status"] == golden["status"], d["doc_id"]
+        assert got["overall_confidence"] == pytest.approx(
+            golden["overall_confidence"], abs=1e-9)
+        if golden["status"] in ("completed", "partial"):
+            assert got["document_type"] == golden["document_type"]
+            assert [f["name"] for f in got["fields"]] == list(golden["fields"])
+
+
+def test_all_statuses_exercised(spark_results):
+    statuses = {r["status"] for r in spark_results.values()}
+    assert {"completed", "partial", "rejected_quality",
+            "rejected_classification"} <= statuses
+
+
+def test_fields_long_explode(spark, spark_results):
+    from ocr_documents_spark.pipeline import fields_long
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import Row
+    results_df = spark.createDataFrame(list(spark_results.values()))
+    long_df = fields_long(results_df)
+    total_fields = sum(len(r["fields"]) for r in spark_results.values()
+                       if r["fields"] is not None)
+    assert long_df.count() == total_fields
+    assert set(long_df.columns) == {"doc_id", "document_type", "field_name",
+                                    "field_value", "confidence", "page_number"}
