@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship workload: the full document-extraction pipeline
+(recover -> quality gate -> classify -> extract) over the deterministic
+interleaved text+media corpus (FIXTURES.md §1, seed=42 — the BASELINE.json
+``input_hint`` table shape), aggregated per (document_type, status).
+
+``queries``/``oracle_sql`` expose the operator inventory from SURVEY.md §2.7
+plus the training-data pipeline ops (dedup, similarity search, text
+analytics) over the driver's parquet tables, each with a DuckDB oracle.
+The extraction pipeline's strong correctness gate is the pytest
+span-sequence-equality suite (tests/test_pipeline_equality.py); its driver
+entries (q27/q28) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -12,27 +18,32 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction pipeline at the sf0.001 smoke tier."""
+    from ocr_documents_spark.fixtures.gen import docs_for_sf, generate_docs
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA, run_pipeline
+
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in d["spans"]])
+            for d in generate_docs(docs_for_sf(0.001))]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    results = run_pipeline(docs)
+    return (results.groupBy("document_type", "status")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("overall_confidence"), 2).alias("avg_confidence"),
+                 F.round(F.avg(F.size("fields")), 2).alias("avg_fields"))
+            .orderBy("document_type", "status"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ocr_documents_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_documents_spark.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -1,0 +1,97 @@
+"""Benchmark harness (driver-run, one JSON line on stdout).
+
+Measures the flagship extraction pipeline (docs/sec over the deterministic
+interleaved corpus at the tier's size) plus headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` on ``local[$SPARK_GRAFT_CPUS]``.
+
+The corpus parquet is generated once per SF into .bench_cache/ (seed=42,
+fully deterministic) so the measured path is a real parquet scan ->
+pipeline -> noop sink, with no driver-side collect.
+
+Scaling evidence (local[8] vs local[32], BASELINE.json criterion) lives in
+tools/scaling_bench.py and is reported in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "q01_pricing_summary", "q06_revenue_by_nation", "q08_word_counts",
+    "q13_minhash_signatures", "q15_simhash", "q17_text_quality",
+    "q21_knn_bruteforce", "q25_sessionization",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(sf: float) -> str:
+    from ocr_documents_spark.fixtures.gen import docs_for_sf, write_docs_parquet
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"docs_sf{sf}.parquet")
+    if not os.path.exists(path):
+        write_docs_parquet(path, docs_for_sf(sf))
+    return path
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_from_dir(sf_dir)
+
+    from ocr_documents_spark.fixtures.gen import docs_for_sf
+    from ocr_documents_spark.pipeline import read_docs, run_pipeline
+    from ocr_documents_spark.queries import QUERIES
+    from ocr_documents_spark.session import get_spark
+
+    spark = get_spark("ocr-documents-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = docs_for_sf(sf)
+    docs = read_docs(spark, corpus_path(sf))
+    docs.count()  # warm up: JVM, parquet footer, Python workers
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    materialize(run_pipeline(docs))
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,725 @@
+"""Driver-contract query suite (SURVEY.md §2.7 coverage map).
+
+Each entry pairs an idiomatic-DataFrame Spark implementation with an ANSI
+SQL oracle that DuckDB runs over the same parquet tables; the driver
+compares row counts, schemas, and order-insensitive value hashes.  Column
+aliases match exactly on both sides.  Float-producing queries round
+explicitly so cross-engine summation order cannot flip the hash.
+
+Categories covered: scan/filter/project (pushdown), top-k, point lookup,
+window (first-match-wins analogue of backend/ocr_service.py:1618-1625),
+broadcast join, anti join, explode/unnest, regex extraction, date
+functions, ordered dedup, exact/MinHash/SimHash/Jaccard dedup, similarity
+search (brute-force + LSH-bucketed), embedding centroids, text analytics
+(quality score, language ID, token counts, fingerprints), sessionization,
+tumbling windows, and the extraction pipeline itself (rows-only check —
+its strong oracle is the pytest span-equality suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select, md5_int60,
+                                minhash_agg, simhash_bit_votes, simhash_from_votes)
+from .functions.vectors import cosine, sign_bucket
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analogue: partial-aggregatable hash agg; Catalyst emits
+    map-side combine so the shuffle carries one row per group per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q02_filter_pushdown(spark, sf_dir):
+    """Predicate + projection pushed to the parquet scan (check PushedFilters
+    and a 3-column ReadSchema in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 5))
+            .select("l_orderkey", "l_quantity", "l_extendedprice"))
+
+
+def q03_top_orders(spark, sf_dir):
+    """Top-k: TakeOrderedAndProject, no full sort."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .limit(10))
+
+
+def q04_point_lookup(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+def q05_first_event_per_user(spark, sf_dir):
+    """First-match-wins merge analogue (O5): row_number over (user, time)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_id").alias("first_event_id"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+                    F.col("event_type").alias("first_event_type")))
+
+
+def q06_revenue_by_nation(spark, sf_dir):
+    """Fact-fact shuffle join + broadcast dimension join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q07_customers_without_orders(spark, sf_dir):
+    """Anti join (set-difference: pending = all − completed, the checkpoint
+    delta pattern from SURVEY.md §2.7)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q08_word_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("word")).limit(50))
+
+
+def q09_json_regex_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k_value",
+                          F.regexp_extract("props", r"([0-9]+)", 1).cast("int"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("k_value"), 4).alias("avg_k")))
+
+
+def q10_monthly_order_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+                .alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q11_first_order_per_customer(spark, sf_dir):
+    """Ordered dedup via window (dropDuplicates with deterministic order)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey",
+                    F.col("o_orderkey").alias("first_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate")))
+
+
+# ---------------------------------------------------------------------------
+# deduplication suite (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q12_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("fp", F.md5("text"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def _shingles3(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.posexplode(F.split("text", " ")).alias("pos", "word"))
+            .filter(F.col("word") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (toks.withColumn("w1", F.lead("word", 1).over(w))
+            .withColumn("w2", F.lead("word", 2).over(w))
+            .filter(F.col("w2").isNotNull())
+            .select("doc_id",
+                    F.concat_ws(" ", "word", "w1", "w2").alias("shingle")))
+
+
+def q13_minhash_signatures(spark, sf_dir):
+    """MinHash over word 3-gram shingles, 4 salted md5 hash functions,
+    banded 2x2 for LSH (shingle -> minhash -> band)."""
+    sh = _shingles3(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[minhash_agg(F.col("shingle"), j).alias(f"h{j}") for j in range(4)])
+    return sig.select(
+        "doc_id", "h0", "h1", "h2", "h3",
+        F.md5(F.concat("h0", "h1")).alias("band0"),
+        F.md5(F.concat("h2", "h3")).alias("band1"))
+
+
+def q14_lsh_candidate_pairs(spark, sf_dir):
+    """Bucket-join on band keys: candidates = docs sharing any band."""
+    sig = q13_minhash_signatures(spark, sf_dir)
+    bands = (sig.select("doc_id", F.col("band0").alias("band"))
+             .unionAll(sig.select("doc_id", F.col("band1").alias("band"))))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_doc_id"),
+                    F.col("b.doc_id").alias("b_doc_id"))
+            .distinct())
+
+
+def q15_simhash(spark, sf_dir):
+    """16-bit SimHash: per-token 60-bit md5 hash, ±1 votes per bit."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .withColumn("th", md5_int60(F.col("word"))))
+    agg = toks.groupBy("doc_id").agg(
+        *[F.sum(simhash_bit_votes(F.col("th"), b)).alias(f"v{b}")
+          for b in range(SIMHASH_BITS)])
+    return agg.select(
+        "doc_id",
+        simhash_from_votes([F.col(f"v{b}") for b in range(SIMHASH_BITS)])
+        .alias("simhash"))
+
+
+def q16_bigram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: same-source pairs over distinct bigrams."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", "source",
+                        F.posexplode(F.split("text", " ")).alias("pos", "word"))
+            .filter(F.col("word") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (toks.withColumn("w1", F.lead("word", 1).over(w))
+               .filter(F.col("w1").isNotNull())
+               .select("doc_id", "source",
+                       F.concat_ws(" ", "word", "w1").alias("bigram"))
+               .distinct())
+    sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = bigrams.alias("a"), bigrams.alias("b")
+    inter = (a.join(b, (F.col("a.bigram") == F.col("b.bigram"))
+                    & (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("a_doc_id"),
+                      F.col("b.doc_id").alias("b_doc_id"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("a_doc_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b_doc_id"), F.col("sz").alias("sb"))
+    return (inter.join(sa, "a_doc_id").join(sb, "b_doc_id")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("sa") + F.col("sb") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= 0.2)
+            .select("a_doc_id", "b_doc_id", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# text analytics
+# ---------------------------------------------------------------------------
+
+def q17_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha.alias("alpha_chars"),
+        F.round(alpha / F.col("n_chars"), 4).alias("alpha_ratio"),
+        F.round(alpha / n_tokens, 4).alias("avg_token_len"),
+        ((n_tokens >= 10) & (n_tokens <= 1000)).alias("length_ok"))
+
+
+def q18_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = None
+    for sw in STOPWORDS:
+        h = F.when(padded.like(f"% {sw} %"), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return docs.select(
+        "doc_id", "lang",
+        hits.alias("stopword_hits"),
+        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+        .alias("predicted_lang"))
+
+
+def q19_token_count_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", "[^a-zA-Z0-9]+"),
+                               lambda x: x != ""))
+    return (docs.withColumn("n_tokens", n_tokens)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens")))
+
+
+def q20_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(normalized)
+    return docs.select("doc_id", fp.alias("fp"),
+                       F.substring(fp, 1, 2).alias("shard"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings")
+
+
+def q21_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-3: the exact baseline every ANN variant is
+    measured against.  Native zip_with/aggregate dot products (codegen)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (q.join(F.broadcast(c)) if False else q.crossJoin(c)) \
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def q22_ann_signbucket(spark, sf_dir):
+    """LSH-bucketed ANN: deterministic sign-pattern bucket on the first 3
+    dims prunes candidates before scoring (the 100 TB scale path: bucket is
+    the shuffle key; each bucket scans ~1/8 of candidates)."""
+    emb = _emb(spark, sf_dir)
+    withb = emb.withColumn("bucket", sign_bucket(F.col("embedding")))
+    q = withb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket")
+    c = withb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    scored = (q.join(c, "bucket")
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "bucket", "neighbor_id", "cos", "rank"))
+
+
+def q23_label_centroids(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
+            .withColumn("dim", F.col("dim0") + 1)
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("centroid"),
+                 F.count(F.lit(1)).alias("n_vectors")))
+
+
+def q24_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup within label partitions (blocked join)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("av"), "label")
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").alias("bv"),
+                   F.col("label").alias("label_b"))
+    return (a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .withColumn("cos", F.round(cosine(F.col("av"), F.col("bv")), 4))
+            .filter(F.col("cos") >= 0.95)
+            .select("a_id", "b_id", "label", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# event stream analytics (batch form)
+# ---------------------------------------------------------------------------
+
+def q25_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30 min), the batch twin of the streaming
+    state operator in streaming/sessionize.py."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("new_sess").alias("n_sessions")))
+
+
+def q26_hourly_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+                .alias("hour"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# the extraction pipeline itself (rows-only driver check; the strong oracle
+# is tests/test_pipeline_equality.py span-sequence equality)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_DOCS = 200
+
+
+def _synthetic_docs_df(spark):
+    from .fixtures.gen import generate_docs
+    from .pipeline import DOCS_SCHEMA
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in d["spans"]])
+            for d in generate_docs(_PIPELINE_DOCS)]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def q27_extraction_pipeline(spark, sf_dir):
+    from .pipeline import run_pipeline
+    results = run_pipeline(_synthetic_docs_df(spark))
+    return results.select("doc_id", "document_type", "status", "n_pages",
+                          F.size("fields").alias("n_fields"),
+                          F.size("out_spans").alias("n_out_spans"))
+
+
+def q28_extraction_fields_long(spark, sf_dir):
+    from .pipeline import fields_long, run_pipeline
+    results = run_pipeline(_synthetic_docs_df(spark))
+    return (fields_long(results)
+            .groupBy("document_type", "field_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("confidence"), 4).alias("avg_confidence")))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SIMHASH_TH = "('0x' || substr(md5(word), 1, 15))::UBIGINT"
+_SIMHASH_VOTES, _SIMHASH_FOLD = duckdb_simhash_select(_SIMHASH_TH)
+
+_STOPWORD_HITS = " + ".join(
+    f"(case when (' ' || text || ' ') like '% {sw} %' then 1 else 0 end)"
+    for sw in STOPWORDS)
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_pushdown": """
+        SELECT l_orderkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 5
+    """,
+    "q03_top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q04_point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+    "q05_first_event_per_user": """
+        SELECT user_id, event_id AS first_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+               event_type AS first_event_type
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+    """,
+    "q06_revenue_by_nation": """
+        SELECT n_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q07_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    "q08_word_counts": """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+        ORDER BY n DESC, word ASC LIMIT 50
+    """,
+    "q09_json_regex_extract": """
+        SELECT event_type, count(*) AS n,
+               round(avg(regexp_extract(props, '([0-9]+)', 1)::INT), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "q10_monthly_order_stats": """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    """,
+    "q11_first_order_per_customer": """
+        SELECT o_custkey, o_orderkey AS first_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+    """,
+    "q12_exact_dedup": """
+        SELECT md5(text) AS fp, count(*) AS n_docs,
+               min(doc_id) AS canonical_doc_id, sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY 1
+    """,
+    "q13_minhash_signatures": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                       AS shingle
+            FROM toks WHERE word <> ''
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3
+            FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id
+        )
+        SELECT doc_id, h0, h1, h2, h3,
+               md5(h0 || h1) AS band0, md5(h2 || h3) AS band1
+        FROM sig
+    """,
+    "q15_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), votes AS (
+            SELECT doc_id, {_SIMHASH_VOTES}
+            FROM toks WHERE word <> '' GROUP BY doc_id
+        )
+        SELECT doc_id, ({_SIMHASH_FOLD})::BIGINT AS simhash FROM votes
+    """,
+    "q16_bigram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), bigrams AS (
+            SELECT DISTINCT doc_id, source,
+                   word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS bigram
+            FROM toks WHERE word <> ''
+        ), bg AS (SELECT * FROM bigrams WHERE bigram IS NOT NULL),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS inter
+            FROM bg a JOIN bg b
+              ON a.bigram = b.bigram AND a.source = b.source
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_doc_id, b_doc_id,
+               round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_doc_id
+        JOIN sizes sb ON sb.doc_id = b_doc_id
+        WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+    """,
+    "q17_text_quality": """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / n_chars, 4) AS alpha_ratio,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / len(list_filter(string_split(text, ' '), x -> x <> '')), 4)
+                   AS avg_token_len,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   BETWEEN 10 AND 1000 AS length_ok
+        FROM documents
+    """,
+    "q18_lang_id": f"""
+        SELECT doc_id, lang, ({_STOPWORD_HITS}) AS stopword_hits,
+               CASE WHEN ({_STOPWORD_HITS}) >= 2 THEN 'en' ELSE 'other' END
+                   AS predicted_lang
+        FROM documents
+    """,
+    "q19_token_count_by_source": """
+        SELECT source, count(*) AS n_docs,
+               sum(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                                   x -> x <> '')))::BIGINT AS total_tokens,
+               round(avg(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                                         x -> x <> ''))), 4) AS avg_tokens
+        FROM documents GROUP BY source
+    """,
+    "q20_doc_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 2)
+                   AS shard
+        FROM documents
+    """,
+    "q21_knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings WHERE vec_id >= 5),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 4) AS cos
+            FROM q CROSS JOIN c
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= 3
+    """,
+    "q22_ann_signbucket": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) AS bucket
+            FROM embeddings
+        ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+                 WHERE vec_id < 5),
+           c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+                 WHERE vec_id >= 5),
+        scored AS (
+            SELECT query_id, q.bucket AS bucket, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 4) AS cos
+            FROM q JOIN c ON q.bucket = c.bucket
+        )
+        SELECT query_id, bucket, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= 3
+    """,
+    "q23_label_centroids": """
+        SELECT label, dim, round(avg(x), 4) AS centroid, count(*) AS n_vectors
+        FROM (SELECT label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim
+    """,
+    "q24_embedding_neardup": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+               round(list_dot_product(a.embedding, b.embedding)
+                     / (sqrt(list_dot_product(a.embedding, a.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding, b.embedding)
+                    / (sqrt(list_dot_product(a.embedding, a.embedding))
+                       * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.95
+    """,
+    "q25_sessionization": """
+        SELECT user_id, count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
+        FROM (SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts - lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        GROUP BY user_id
+    """,
+    "q26_hourly_event_stats": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    # q14 lsh pairs: derived entirely from q13's signature table
+    "q14_lsh_candidate_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                       AS shingle
+            FROM toks WHERE word <> ''
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3
+            FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, md5(h0 || h1) AS band FROM sig
+            UNION ALL
+            SELECT doc_id, md5(h2 || h3) AS band FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id
+    """,
+    # q27/q28 intentionally absent: extraction pipeline has no SQL oracle;
+    # its strong check is the pytest span-sequence equality suite.
+}
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_pushdown": q02_filter_pushdown,
+    "q03_top_orders": q03_top_orders,
+    "q04_point_lookup": q04_point_lookup,
+    "q05_first_event_per_user": q05_first_event_per_user,
+    "q06_revenue_by_nation": q06_revenue_by_nation,
+    "q07_customers_without_orders": q07_customers_without_orders,
+    "q08_word_counts": q08_word_counts,
+    "q09_json_regex_extract": q09_json_regex_extract,
+    "q10_monthly_order_stats": q10_monthly_order_stats,
+    "q11_first_order_per_customer": q11_first_order_per_customer,
+    "q12_exact_dedup": q12_exact_dedup,
+    "q13_minhash_signatures": q13_minhash_signatures,
+    "q14_lsh_candidate_pairs": q14_lsh_candidate_pairs,
+    "q15_simhash": q15_simhash,
+    "q16_bigram_jaccard_pairs": q16_bigram_jaccard_pairs,
+    "q17_text_quality": q17_text_quality,
+    "q18_lang_id": q18_lang_id,
+    "q19_token_count_by_source": q19_token_count_by_source,
+    "q20_doc_fingerprint": q20_doc_fingerprint,
+    "q21_knn_bruteforce": q21_knn_bruteforce,
+    "q22_ann_signbucket": q22_ann_signbucket,
+    "q23_label_centroids": q23_label_centroids,
+    "q24_embedding_neardup": q24_embedding_neardup,
+    "q25_sessionization": q25_sessionization,
+    "q26_hourly_event_stats": q26_hourly_event_stats,
+    "q27_extraction_pipeline": q27_extraction_pipeline,
+    "q28_extraction_fields_long": q28_extraction_fields_long,
+}
