@@ -60,14 +60,30 @@ def recover_pages(spans: Sequence[Any]) -> List[Dict[str, Any]]:
     return pages
 
 
-def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
-                      quality_ok: bool) -> Dict[str, Any]:
-    """Steps 3-5 over already-recovered pages.
+def rejected_quality_result(doc_id: str, n_spans: int) -> Dict[str, Any]:
+    """Result shape for a document that failed the quality gate.
 
-    This is the exact function the Spark finalize stage (mapInPandas) calls
-    per document, with ``quality_ok`` computed natively JVM-side; the oracle
-    calls it with the Python gate.  Sharing it is what makes span-sequence
-    equality structural rather than aspirational.
+    The reference aborts BEFORE OCR on quality failure (backend/main.py:137-152
+    returns HTTP 400 pre-OCR), so no page text or confidence ever exists for
+    these documents; we encode that as confidence 0.0 and no recovered pages.
+    """
+    return {
+        "doc_id": doc_id, "pages": [], "raw_text": "",
+        "document_type": None, "classify_confidence": 0.0, "fields": {},
+        "overall_confidence": 0.0, "status": "rejected_quality",
+        "n_pages": n_spans,
+        "out_spans": [("status", "rejected_quality", None, 0)],
+    }
+
+
+def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Steps 3-5 over already-recovered, quality-passed pages.
+
+    This is the exact function the Spark heavy-path finalize stage
+    (mapInPandas) calls per document — the gate has already run natively
+    JVM-side on the first media span's metrics, mirroring the oracle's
+    cheap-first order.  Sharing it is what makes span-sequence equality
+    structural rather than aspirational.
     """
     raw_text = "\n".join(p["text"] for p in pages)
     confs = [p["confidence"] for p in pages]
@@ -82,11 +98,6 @@ def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
         "status": None,
         "n_pages": len(pages),
     }
-
-    if not quality_ok:
-        result["status"] = "rejected_quality"
-        result["out_spans"] = [("status", "rejected_quality", None, 0)]
-        return result
 
     doc_type, conf = classify_enhanced(raw_text)
     result["document_type"] = doc_type
@@ -127,27 +138,38 @@ def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
     return result
 
 
-def document_quality_ok(pages: Sequence[Dict[str, Any]],
+def document_quality_ok(spans: Sequence[Any],
                         skip_quality_check: bool = False) -> bool:
-    """Gate on the FIRST media span's metrics only (cheap-first; reference
-    renders page 1 at reduced dpi for the same reason)."""
+    """Gate on the FIRST media span's metrics only — decoded BEFORE any
+    other recovery work (cheap-first; the reference renders only page 1 at
+    reduced dpi for the same reason, backend/image_quality_checker.py:245).
+    """
     if skip_quality_check:
         return True
-    first_media_qc = next((p["qc"] for p in pages if p.get("qc") is not None), None)
-    if first_media_qc is None:
+    first_ref = None
+    first_off = None
+    for s in spans:
+        kind = s["kind"] if isinstance(s, dict) else s.kind
+        if kind != "media":
+            continue
+        off = s["offset"] if isinstance(s, dict) else s.offset
+        if first_off is None or off < first_off:
+            first_off, first_ref = off, (
+                s["media_ref"] if isinstance(s, dict) else s.media_ref)
+    if first_ref is None:
         return True  # born-digital document: nothing to gate on
+    _text, _conf, qc = decode_media_ref(first_ref)
     return quality_passed(
-        first_media_qc.get("w", 0), first_media_qc.get("h", 0),
-        first_media_qc.get("blur", 0.0), first_media_qc.get("brightness", 0.0),
-        first_media_qc.get("contrast", 0.0))
+        qc.get("w", 0), qc.get("h", 0), qc.get("blur", 0.0),
+        qc.get("brightness", 0.0), qc.get("contrast", 0.0))
 
 
 def process_document(doc_id: str, spans: Sequence[Any],
                      skip_quality_check: bool = False) -> Dict[str, Any]:
-    """Full oracle pipeline for one document."""
-    pages = recover_pages(spans)
-    return process_recovered(
-        doc_id, pages, document_quality_ok(pages, skip_quality_check))
+    """Full oracle pipeline for one document (gate first, then recover)."""
+    if not document_quality_ok(spans, skip_quality_check):
+        return rejected_quality_result(doc_id, len(spans))
+    return process_recovered(doc_id, recover_pages(spans))
 
 
 def out_spans_for_document(doc_id: str, spans: Sequence[Any]) -> List[OutSpan]:

@@ -455,10 +455,17 @@ def docs_for_sf(sf: float) -> int:
     return max(50, int(round(30000 * sf)))
 
 
-ARROW_SPANS_TYPE = None  # set lazily in write_docs_parquet
+def write_docs_parquet(path: str, n_docs: int, seed: int = SEED,
+                       docs_per_file: int = 250,
+                       row_group_rows: int = 50) -> str:
+    """Write the corpus as a DIRECTORY of parquet part files.
 
+    A 10^12-document lake is many thousands of files; writing one monolithic
+    single-row-group file would give the scan exactly one split and zero
+    parallelism.  Small row groups keep intra-file splits meaningful too.
+    """
+    import os
 
-def write_docs_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -468,7 +475,14 @@ def write_docs_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
     ])
     schema = pa.schema([("doc_id", pa.string()),
                         ("spans", pa.list_(span_type))])
-    rows = generate_docs(n_docs, seed)
-    table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, path)
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for start in range(0, n_docs, docs_per_file):
+        rows = [make_document(i, seed)
+                for i in range(start, min(start + docs_per_file, n_docs))]
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table,
+                       os.path.join(path, f"part-{part:05d}.parquet"),
+                       row_group_size=row_group_rows)
+        part += 1
     return path

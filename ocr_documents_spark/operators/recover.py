@@ -22,38 +22,58 @@ from ..extractors.pipeline_pure import TEXT_SPAN_CONFIDENCE
 RECOVERED_TYPE = StructType([
     StructField("text", StringType()),
     StructField("confidence", DoubleType()),
+])
+
+QC_TYPE = StructType([
     StructField("w", DoubleType()),
     StructField("h", DoubleType()),
     StructField("blur", DoubleType()),
     StructField("brightness", DoubleType()),
     StructField("contrast", DoubleType()),
-    StructField("skew", DoubleType()),
 ])
 
 
 @pandas_udf(RECOVERED_TYPE)
 def recover_span(kind: pd.Series, text: pd.Series, media_ref: pd.Series) -> pd.DataFrame:
+    """Slim per-span recovery: (text, confidence) only.
+
+    QC metrics deliberately do NOT ride this struct — the gate probes just
+    the FIRST media span per document (probe_first_media_qc), so shipping
+    six floats per recovered span through two shuffles would be pure waste.
+    """
     n = len(kind)
-    out = {
-        "text": [""] * n, "confidence": [0.0] * n,
-        "w": [None] * n, "h": [None] * n, "blur": [None] * n,
-        "brightness": [None] * n, "contrast": [None] * n, "skew": [None] * n,
-    }
+    out = {"text": [""] * n, "confidence": [0.0] * n}
     kinds = kind.to_numpy()
     texts = text.to_numpy()
     refs = media_ref.to_numpy()
     for i in range(n):
         if kinds[i] == "media":
-            page_text, conf, qc = decode_media_ref(refs[i] or "")
+            page_text, conf, _qc = decode_media_ref(refs[i] or "")
             out["text"][i] = page_text
             out["confidence"][i] = conf
+        else:
+            out["text"][i] = texts[i] if texts[i] is not None else ""
+            out["confidence"][i] = TEXT_SPAN_CONFIDENCE
+    return pd.DataFrame(out)
+
+
+@pandas_udf(QC_TYPE)
+def probe_first_media_qc(media_ref: pd.Series) -> pd.DataFrame:
+    """Decode ONE media ref per document for the quality gate (S3/Q1-Q6).
+
+    Mirrors the reference's cheap first-page 200-dpi QC probe
+    (backend/image_quality_checker.py:242-254): one decode per document,
+    before any span fan-out, so rejected documents never pay recovery.
+    """
+    n = len(media_ref)
+    out = {k: [None] * n for k in ("w", "h", "blur", "brightness", "contrast")}
+    refs = media_ref.to_numpy()
+    for i in range(n):
+        if refs[i] is not None:
+            _text, _conf, qc = decode_media_ref(refs[i])
             out["w"][i] = float(qc.get("w", 0))
             out["h"][i] = float(qc.get("h", 0))
             out["blur"][i] = float(qc.get("blur", 0.0))
             out["brightness"][i] = float(qc.get("brightness", 0.0))
             out["contrast"][i] = float(qc.get("contrast", 0.0))
-            out["skew"][i] = float(qc.get("skew", 0.0))
-        else:
-            out["text"][i] = texts[i] if texts[i] is not None else ""
-            out["confidence"][i] = TEXT_SPAN_CONFIDENCE
     return pd.DataFrame(out)

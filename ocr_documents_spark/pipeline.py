@@ -1,23 +1,32 @@
 """The Spark extraction pipeline: docs(doc_id, spans) -> results.
 
 One job, one lineage (mirrors the reference's single live request path,
-backend/main.py:94-234 — see SURVEY.md §3.1):
+backend/main.py:94-234 — see SURVEY.md §3.1), **skew-split** into two paths
+on ``size(spans)``:
 
-    read -> posexplode(spans) -> [salt repartition] -> recover-text pandas UDF
-    -> groupBy(doc_id) offset-ordered reassembly (native sort_array)
-    -> native quality gate on first media span -> finalize mapInPandas
-       (classify + per-type extract + status + out_spans)
+* **light path** (~99% of documents, a handful of spans each): a single
+  zero-shuffle ``mapInPandas`` stage runs recover + quality gate + classify
+  + extract per document.  Parallelism comes from the input scan splits —
+  no exploded spans ever cross the wire, so the common case is
+  scan -> one Arrow stage -> sink.
+* **heavy path** (media-heavy documents, the skew unit — hundreds to
+  thousands of media spans in ONE row, invisible to AQE because skew hides
+  inside a single row): posexplode(spans) -> salted repartition on
+  (doc_id, span_idx) -> recover-text pandas UDF -> groupBy(doc_id)
+  offset-ordered reassembly (native sort_array) -> native quality gate ->
+  finalize mapInPandas.  Exactly two shuffles, and only over the skewed ~1%.
 
 Scale design (SURVEY.md §4.2):
-* span-level parallelism: media-heavy documents (the skew unit) fan their
-  spans across tasks via the salted repartition on (doc_id, span_idx);
-  AQE handles residual shuffle skew.
-* exactly two shuffles: the salt spread and the doc_id regroup.  The regroup
-  is a hash aggregation on doc_id whose per-group state is bounded by the
-  per-doc span cap, so it partial-aggregates map-side where possible.
-* everything between Arrow batches is native Catalyst (gate, reassembly),
-  and both UDF stages are Arrow-vectorized; there is no per-row Python UDF
-  and no driver-side collect anywhere.
+* At production scale the input Iceberg table carries a ``size_class``
+  ingest partition so each branch's filter partition-prunes to a disjoint
+  scan (net one pass over the data).  On a raw parquet table the
+  ``size(spans)`` filters evaluate post-scan; heavy docs are ~1% so the
+  extra heavy-branch scan is skip-heavy.
+* The regroup is a hash aggregation on doc_id whose per-group state is
+  bounded by the per-doc span cap, so it partial-aggregates map-side.
+* Everything between Arrow batches is native Catalyst (gate, reassembly),
+  all UDF stages are Arrow-vectorized; there is no per-row Python UDF and
+  no driver-side collect anywhere.
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, StringType,
                                StructField, StructType)
 
 from .operators.gate import quality_passed_col
-from .operators.recover import recover_span
+from .operators.recover import probe_first_media_qc, recover_span
 
 DOCS_SCHEMA = StructType([
     StructField("doc_id", StringType()),
@@ -70,6 +79,33 @@ RESULT_SCHEMA = StructType([
 ])
 
 
+# docs with more spans than this take the salted explode path; the synthetic
+# corpus's media-heavy probes carry 512-4096 spans, normal docs 2-6
+HEAVY_SPAN_THRESHOLD = 64
+
+
+def _append_result(rows: dict, r: dict) -> None:
+    rows["doc_id"].append(r["doc_id"])
+    rows["document_type"].append(r["document_type"])
+    rows["classify_confidence"].append(float(r["classify_confidence"]))
+    rows["overall_confidence"].append(float(r["overall_confidence"]))
+    rows["status"].append(r["status"])
+    rows["n_pages"].append(r["n_pages"])
+    rows["fields"].append([
+        {"name": name, "value": None if d["value"] is None else str(d["value"]),
+         "confidence": float(d["confidence"]), "page": d["page"],
+         "media_ref": d["media_ref"]}
+        for name, d in r["fields"].items()])
+    rows["out_spans"].append([
+        {"kind": k, "text": t, "media_ref": m, "order": o}
+        for (k, t, m, o) in r["out_spans"]])
+
+
+_RESULT_KEYS = ("doc_id", "document_type", "classify_confidence",
+                "overall_confidence", "status", "n_pages", "fields",
+                "out_spans")
+
+
 def _finalize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Classify + extract + status per document over recovered pages.
 
@@ -79,34 +115,87 @@ def _finalize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     from ocr_documents_spark.extractors.pipeline_pure import process_recovered
 
     for pdf in batches:
-        rows = {k: [] for k in ("doc_id", "document_type", "classify_confidence",
-                                "overall_confidence", "status", "n_pages",
-                                "fields", "out_spans")}
-        for doc_id, pages_raw, quality_ok in zip(
-                pdf["doc_id"], pdf["pages"], pdf["quality_ok"]):
+        rows = {k: [] for k in _RESULT_KEYS}
+        for doc_id, pages_raw in zip(pdf["doc_id"], pdf["pages"]):
             pages = [{"text": p["text"] if p["text"] is not None else "",
                       "confidence": float(p["confidence"]),
                       "media_ref": p["media_ref"]} for p in pages_raw]
-            r = process_recovered(doc_id, pages, bool(quality_ok))
-            rows["doc_id"].append(r["doc_id"])
-            rows["document_type"].append(r["document_type"])
-            rows["classify_confidence"].append(float(r["classify_confidence"]))
-            rows["overall_confidence"].append(float(r["overall_confidence"]))
-            rows["status"].append(r["status"])
-            rows["n_pages"].append(r["n_pages"])
-            rows["fields"].append([
-                {"name": name, "value": None if d["value"] is None else str(d["value"]),
-                 "confidence": float(d["confidence"]), "page": d["page"],
-                 "media_ref": d["media_ref"]}
-                for name, d in r["fields"].items()])
-            rows["out_spans"].append([
-                {"kind": k, "text": t, "media_ref": m, "order": o}
-                for (k, t, m, o) in r["out_spans"]])
+            r = process_recovered(doc_id, pages)
+            _append_result(rows, r)
         yield pd.DataFrame(rows)
 
 
+def _direct_batches(skip_quality_check: bool):
+    """Whole-document single-pass stage for the light path.
+
+    Runs the same shared per-document functions as the oracle
+    (extractors/pipeline_pure.py), so span-sequence equality holds by
+    construction on this path too.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_documents_spark.extractors.pipeline_pure import process_document
+
+        for pdf in batches:
+            rows = {k: [] for k in _RESULT_KEYS}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                r = process_document(doc_id, list(spans),
+                                     skip_quality_check=skip_quality_check)
+                _append_result(rows, r)
+            yield pd.DataFrame(rows)
+    return fn
+
+
+def with_quality_gate(docs: DataFrame, skip_quality_check: bool = False) -> DataFrame:
+    """Cheap-first gate BEFORE any recovery fan-out (Q1-Q6, S3).
+
+    One probe decode of the FIRST media span per document (mirrors the
+    reference's single-page reduced-dpi QC render,
+    backend/image_quality_checker.py:242-254), then the pass/fail ladder as
+    native JVM-side column arithmetic.  Documents that fail never pay
+    explode, shuffle, or recovery.
+    """
+    # first media span = smallest OFFSET, not array position (spans may
+    # arrive unordered); reorder the struct so sort_array keys on offset
+    first_ref = F.try_element_at(
+        F.sort_array(F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("media")),
+            lambda s: F.struct(s["offset"].alias("offset"),
+                               s["media_ref"].alias("media_ref")))),
+        F.lit(1))["media_ref"]
+    if skip_quality_check:
+        ok = F.lit(True)
+    else:
+        qc = probe_first_media_qc(first_ref)
+        ok = F.when(first_ref.isNull(), F.lit(True)).otherwise(
+            quality_passed_col(qc["w"], qc["h"], qc["blur"],
+                               qc["brightness"], qc["contrast"]))
+    return docs.withColumn("quality_ok", ok)
+
+
+def rejected_quality_results(docs: DataFrame) -> DataFrame:
+    """RESULT_SCHEMA rows for gate-failed docs, built natively (no Python).
+
+    Matches extractors/pipeline_pure.rejected_quality_result exactly.
+    """
+    out_span = F.struct(
+        F.lit("status").alias("kind"),
+        F.lit("rejected_quality").alias("text"),
+        F.lit(None).cast(StringType()).alias("media_ref"),
+        F.lit(0).alias("order"))
+    return docs.select(
+        "doc_id",
+        F.lit(None).cast(StringType()).alias("document_type"),
+        F.lit(0.0).alias("classify_confidence"),
+        F.lit(0.0).alias("overall_confidence"),
+        F.lit("rejected_quality").alias("status"),
+        F.size("spans").alias("n_pages"),
+        F.array().cast(ArrayType(FIELD_TYPE)).alias("fields"),
+        F.array(out_span).cast(ArrayType(OUT_SPAN_TYPE)).alias("out_spans"),
+    )
+
+
 def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
-    """docs -> one row per doc with offset-ordered recovered pages + QC bit."""
+    """docs -> one row per doc with offset-ordered recovered pages."""
     spans = docs.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "span"))
 
@@ -123,40 +212,41 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
                      F.col("span.media_ref")).alias("rec"),
     )
 
-    pages = rec.groupBy("doc_id").agg(
+    return rec.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct(
             F.col("offset"),
             F.col("rec.text").alias("text"),
             F.col("media_ref"),
             F.col("rec.confidence").alias("confidence"),
-            F.col("rec.w").alias("w"), F.col("rec.h").alias("h"),
-            F.col("rec.blur").alias("blur"),
-            F.col("rec.brightness").alias("brightness"),
-            F.col("rec.contrast").alias("contrast"),
         ))).alias("pages"))
-    return pages
-
-
-def with_quality_gate(pages: DataFrame, skip_quality_check: bool = False) -> DataFrame:
-    """Native JVM-side gate on the first media span's metrics (Q1-Q6)."""
-    first_media = F.try_element_at(
-        F.filter("pages", lambda p: p["media_ref"].isNotNull()), F.lit(1))
-    if skip_quality_check:
-        ok = F.lit(True)
-    else:
-        ok = F.when(first_media.isNull(), F.lit(True)).otherwise(
-            quality_passed_col(first_media["w"], first_media["h"],
-                               first_media["blur"], first_media["brightness"],
-                               first_media["contrast"]))
-    return pages.withColumn("quality_ok", ok)
 
 
 def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
-                 salt: bool = True) -> DataFrame:
-    """Full extraction: docs(doc_id, spans) -> RESULT_SCHEMA DataFrame."""
-    pages = recover_and_regroup(docs, salt=salt)
-    gated = with_quality_gate(pages, skip_quality_check)
-    return gated.mapInPandas(_finalize_batches, RESULT_SCHEMA)
+                 salt: bool = True,
+                 heavy_threshold: int = HEAVY_SPAN_THRESHOLD) -> DataFrame:
+    """Full extraction: docs(doc_id, spans) -> RESULT_SCHEMA DataFrame.
+
+    Skew-split: documents with ``size(spans) <= heavy_threshold`` run the
+    zero-shuffle direct stage; bigger ones are gated first (one probe decode
+    per doc), failed ones short-circuit to native result rows, and the rest
+    run the salted explode/regroup path.  ``salt=False`` forces everything
+    through the direct stage (only sensible when no pathological documents
+    exist).
+    """
+    if not salt:
+        return docs.mapInPandas(_direct_batches(skip_quality_check),
+                                RESULT_SCHEMA)
+    n = F.size("spans")
+    light = docs.filter(n <= heavy_threshold).mapInPandas(
+        _direct_batches(skip_quality_check), RESULT_SCHEMA)
+
+    gated = with_quality_gate(docs.filter(n > heavy_threshold),
+                              skip_quality_check)
+    rejected = rejected_quality_results(gated.filter(~F.col("quality_ok")))
+    passed = gated.filter(F.col("quality_ok")).drop("quality_ok")
+    heavy = recover_and_regroup(passed, salt=True).mapInPandas(
+        _finalize_batches, RESULT_SCHEMA)
+    return light.unionByName(heavy).unionByName(rejected)
 
 
 def read_docs(spark: SparkSession, path: str) -> DataFrame:
