@@ -1,0 +1,135 @@
+"""Lake protocol: doc_id-bucketed writes, checkpoints, metrics sidecar.
+
+Implements the north-rule job-control contract (SURVEY.md §4.2):
+
+* results land partitioned by ``bucket = pmod(xxhash64(doc_id), n_buckets)``
+  — the parquet stand-in for an Iceberg table written ``bucket(N, doc_id)``;
+* a run claims a set of buckets, processes them in ONE Spark job, writes
+  results + EAV fields with **dynamic partition overwrite** (only the
+  claimed buckets are replaced — the parquet equivalent of
+  ``MERGE INTO lake.results ON doc_id``, and exactly as idempotent: a
+  re-driven bucket rewrites to the same bytes);
+* per-bucket lineage rows (doc/span/status counts) append to a sidecar
+  ``metrics`` table;
+* a ``checkpoints`` table appends one row per completed bucket **after**
+  the results commit, so a crash between the two replays the bucket —
+  never loses it.  ``pending = claimed − checkpointed`` is the resume set.
+
+On a cluster with an Iceberg catalog the same protocol maps 1:1:
+``CREATE TABLE … PARTITIONED BY (bucket(N, doc_id))``, ``MERGE INTO`` for
+results, plain appends for metrics/checkpoints.  This sandbox has no
+Iceberg runtime jar, so the protocol rides parquet; the SQL the Iceberg
+path would issue is in ``iceberg_merge_sql`` for parity review.
+
+Reference lineage: the v1 status ladder pending → processing → completed
+(backend/main_v1.py:117-157) is exactly this checkpoint table, with the
+bucket range as the unit of work instead of one upload.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESULTS = "results"
+FIELDS_LONG = "fields_long"
+METRICS = "metrics"
+CHECKPOINTS = "checkpoints"
+
+
+@dataclass
+class Lake:
+    root: str
+    n_buckets: int
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def bucket_col(self, doc_id_col: str = "doc_id") -> F.Column:
+        return F.pmod(F.xxhash64(doc_id_col), F.lit(self.n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, lake: Lake) -> List[int]:
+    """Buckets already checkpointed (any prior run)."""
+    path = lake.path(CHECKPOINTS)
+    try:
+        rows = spark.read.parquet(path).select("bucket").distinct().collect()
+    except Exception:  # first run: no checkpoint table yet
+        return []
+    return sorted(r["bucket"] for r in rows)
+
+
+def pending_buckets(spark: SparkSession, lake: Lake,
+                    claimed: Sequence[int]) -> List[int]:
+    done = set(completed_buckets(spark, lake))
+    return [b for b in claimed if b not in done]
+
+
+def write_bucketed(df: DataFrame, lake: Lake, table: str) -> None:
+    """Replace exactly the bucket partitions present in ``df``.
+
+    Dynamic partition overwrite = idempotent re-drive: rerunning a failed
+    bucket rewrites its partition in place, never duplicates.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.partitionBy("bucket").mode("overwrite")
+           .parquet(lake.path(table)))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def append(df: DataFrame, lake: Lake, table: str) -> None:
+    df.write.mode("append").parquet(lake.path(table))
+
+
+def bucket_metrics(results_with_bucket: DataFrame, run_id: str,
+                   wall_s: float) -> DataFrame:
+    """Per-bucket lineage rows for the sidecar metrics table.
+
+    One row per (run, bucket): how many docs/spans, the status census, and
+    field volume — enough to audit a range without scanning results.
+    """
+    s = F.col("status")
+    return (results_with_bucket.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pages").alias("n_spans"),
+        F.sum(F.when(s == "completed", 1).otherwise(0)).alias("n_completed"),
+        F.sum(F.when(s == "partial", 1).otherwise(0)).alias("n_partial"),
+        F.sum(F.when(s == "rejected_quality", 1).otherwise(0)).alias("n_rejected_quality"),
+        F.sum(F.when(s == "rejected_classification", 1).otherwise(0)).alias("n_rejected_classification"),
+        F.sum(F.size("fields")).alias("n_fields"),
+        F.avg("overall_confidence").alias("avg_confidence"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("run_wall_s", F.lit(float(wall_s)))
+        .withColumn("committed_at", F.lit(time.time())))
+
+
+def checkpoint_rows(spark: SparkSession, run_id: str,
+                    buckets: Sequence[int]) -> DataFrame:
+    return spark.createDataFrame(
+        [(run_id, int(b), time.time()) for b in buckets],
+        "run_id string, bucket int, committed_at double")
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def iceberg_merge_sql(catalog_table: str = "lake.results") -> str:
+    """The MERGE the Iceberg path issues instead of dynamic overwrite."""
+    return f"""
+MERGE INTO {catalog_table} t
+USING batch_results s
+ON t.doc_id = s.doc_id
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+""".strip()
