@@ -466,23 +466,34 @@ def write_docs_parquet(path: str, n_docs: int, seed: int = SEED,
     """
     import os
 
+    os.makedirs(path, exist_ok=True)
+    ranges = [(part, start, min(start + docs_per_file, n_docs))
+              for part, start in enumerate(range(0, n_docs, docs_per_file))]
+    if n_docs >= 20000:  # parallel generation for big bench corpora
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor() as ex:
+            list(ex.map(_write_part,
+                        [(path, seed, row_group_rows) + r for r in ranges],
+                        chunksize=1))
+    else:
+        for r in ranges:
+            _write_part((path, seed, row_group_rows) + r)
+    return path
+
+
+def _write_part(args) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import os
 
+    path, seed, row_group_rows, part, start, end = args
     span_type = pa.struct([
         ("kind", pa.string()), ("text", pa.string()),
         ("media_ref", pa.string()), ("offset", pa.int32()),
     ])
     schema = pa.schema([("doc_id", pa.string()),
                         ("spans", pa.list_(span_type))])
-    os.makedirs(path, exist_ok=True)
-    part = 0
-    for start in range(0, n_docs, docs_per_file):
-        rows = [make_document(i, seed)
-                for i in range(start, min(start + docs_per_file, n_docs))]
-        table = pa.Table.from_pylist(rows, schema=schema)
-        pq.write_table(table,
-                       os.path.join(path, f"part-{part:05d}.parquet"),
-                       row_group_size=row_group_rows)
-        part += 1
-    return path
+    rows = [make_document(i, seed) for i in range(start, end)]
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(path, f"part-{part:05d}.parquet"),
+                   row_group_size=row_group_rows)

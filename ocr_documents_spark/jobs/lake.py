@@ -124,6 +124,55 @@ def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
+def apply_field_corrections(spark: SparkSession, lake: Lake,
+                            corrections: DataFrame) -> int:
+    """S9 manual field update (backend/main_v1.py:349-370) as a MERGE.
+
+    ``corrections(doc_id, field_name, new_value)`` updates matching rows of
+    fields_long.  Parquet stand-in for ``MERGE INTO lake.fields_long USING
+    corrections ON (doc_id, field_name) WHEN MATCHED THEN UPDATE``: only the
+    buckets containing corrected documents are rewritten (dynamic partition
+    overwrite), everything else is untouched — same touched-partition cost
+    profile as Iceberg's copy-on-write MERGE.
+    """
+    corr = (corrections
+            .withColumn("bucket", lake.bucket_col())
+            .withColumnRenamed("new_value", "__new"))
+    buckets = [r["bucket"] for r in corr.select("bucket").distinct().collect()]
+    if not buckets:
+        return 0
+    fl = spark.read.parquet(lake.path(FIELDS_LONG))
+    updated = (fl.filter(F.col("bucket").isin(buckets))
+               .join(F.broadcast(corr.select("doc_id", "field_name", "__new")),
+                     ["doc_id", "field_name"], "left")
+               .withColumn("field_value", F.coalesce("__new", "field_value"))
+               .drop("__new"))
+    write_bucketed(updated, lake, FIELDS_LONG)
+    return len(buckets)
+
+
+def delete_document(spark: SparkSession, lake: Lake, doc_id: str) -> None:
+    """S8 delete + cascade (backend/main_v1.py:328-346): row-level delete
+    via rewrite of the single bucket holding the doc (Iceberg path:
+    ``DELETE FROM lake.results WHERE doc_id = …``)."""
+    for table in (RESULTS, FIELDS_LONG):
+        df = spark.read.parquet(lake.path(table))
+        kept = df.filter(F.col("doc_id") != doc_id)
+        bucket = df.filter(F.col("doc_id") == doc_id)
+        write_bucketed(kept.join(bucket.select("bucket").distinct(),
+                                 "bucket", "left_semi"), lake, table)
+
+
+def export_results_csv(results: DataFrame, path: str) -> None:
+    """S10 CSV export (frontend ResultsTable.tsx:51-74): doc summary,
+    single headered file."""
+    (results.select(
+        "doc_id", "document_type", "status",
+        F.round("overall_confidence", 2).alias("confidence"),
+        F.size("fields").alias("n_fields"), "n_pages")
+     .coalesce(1).write.option("header", True).mode("overwrite").csv(path))
+
+
 def iceberg_merge_sql(catalog_table: str = "lake.results") -> str:
     """The MERGE the Iceberg path issues instead of dynamic overwrite."""
     return f"""

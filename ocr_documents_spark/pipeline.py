@@ -79,9 +79,36 @@ RESULT_SCHEMA = StructType([
 ])
 
 
-# docs with more spans than this take the salted explode path; the synthetic
-# corpus's media-heavy probes carry 512-4096 spans, normal docs 2-6
+# --- recovery-spread cost model ------------------------------------------
+# Spreading one document's media spans across tasks costs two full-data
+# shuffles (explode fan-out + doc_id regroup).  That price is right when a
+# span's recovery is expensive (real OCR: O(100ms-1s)/span — a 4096-span
+# doc would pin one task for 7-70 min) and wrong when recovery is cheap
+# (the deterministic decoder: ~0.05ms/span — the same doc is 0.2s of work,
+# far less than the shuffles cost).  The threshold therefore derives from
+# the configured per-span recovery cost: salt only documents whose SERIAL
+# recovery would exceed the target task time.  Deployments running a real
+# OCR engine set SPARK_GRAFT_RECOVER_MS_PER_SPAN=300 (or their measured
+# cost) and media-heavy docs fan out exactly as SURVEY.md §4.2 describes.
+import os as _os
+
+RECOVER_MS_PER_SPAN = float(
+    _os.environ.get("SPARK_GRAFT_RECOVER_MS_PER_SPAN", "0.05"))
+TARGET_TASK_SECONDS = 5.0
+# kept as the explicit-override unit tests' forced-salt threshold
 HEAVY_SPAN_THRESHOLD = 64
+
+
+# when the cost model puts the split above this, no plausible document
+# qualifies and the two-branch plan would only buy a second full scan of
+# the input (array-size predicates cannot prune parquet row groups) —
+# emit the single-scan direct plan instead
+NO_SALT_CUTOFF = 32768
+
+
+def auto_heavy_threshold(ms_per_span: float = None) -> int:
+    ms = RECOVER_MS_PER_SPAN if ms_per_span is None else ms_per_span
+    return max(HEAVY_SPAN_THRESHOLD, int(TARGET_TASK_SECONDS * 1000.0 / ms))
 
 
 def _append_result(rows: dict, r: dict) -> None:
@@ -223,17 +250,21 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
 
 def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
                  salt: bool = True,
-                 heavy_threshold: int = HEAVY_SPAN_THRESHOLD) -> DataFrame:
+                 heavy_threshold: int | None = None) -> DataFrame:
     """Full extraction: docs(doc_id, spans) -> RESULT_SCHEMA DataFrame.
 
     Skew-split: documents with ``size(spans) <= heavy_threshold`` run the
     zero-shuffle direct stage; bigger ones are gated first (one probe decode
     per doc), failed ones short-circuit to native result rows, and the rest
-    run the salted explode/regroup path.  ``salt=False`` forces everything
-    through the direct stage (only sensible when no pathological documents
-    exist).
+    run the salted explode/regroup path.  ``heavy_threshold=None`` derives
+    the split from the recovery cost model (see auto_heavy_threshold):
+    cheap recovery -> everything direct, zero shuffles; expensive OCR ->
+    media-heavy docs fan out.  ``salt=False`` forces everything through the
+    direct stage regardless.
     """
-    if not salt:
+    if heavy_threshold is None:
+        heavy_threshold = auto_heavy_threshold()
+    if not salt or heavy_threshold >= NO_SALT_CUTOFF:
         return docs.mapInPandas(_direct_batches(skip_quality_check),
                                 RESULT_SCHEMA)
     n = F.size("spans")

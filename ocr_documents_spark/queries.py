@@ -12,8 +12,11 @@ broadcast join, anti join, explode/unnest, regex extraction, date
 functions, ordered dedup, exact/MinHash/SimHash/Jaccard dedup, similarity
 search (brute-force + LSH-bucketed), embedding centroids, text analytics
 (quality score, language ID, token counts, fingerprints), sessionization,
-tumbling windows, and the extraction pipeline itself (rows-only check —
-its strong oracle is the pytest span-equality suite).
+tumbling windows, set ops (intersect/exceptAll), reference date
+normalization (DD-Mon-YY, expiry−10y+1d), array higher-order functions
+(vector norms), multimodal media-metadata extraction, approx-distinct
+sketches, and the extraction pipeline itself (rows-only check — its
+strong oracle is the pytest span-equality suite).
 """
 
 from __future__ import annotations
@@ -417,6 +420,81 @@ def q28_extraction_fields_long(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# set ops, date normalization, array/vector fns, multimodal, approx aggs
+# ---------------------------------------------------------------------------
+
+def q29_set_ops(spark, sf_dir):
+    """intersect / exceptAll (SURVEY.md §2.7 set ops: supported-type
+    whitelist intersection, checkpoint delta pending = all − completed)."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = (orders.filter(F.year("o_orderdate") == 1995)
+           .select("o_custkey").distinct())
+    y96 = (orders.filter(F.year("o_orderdate") == 1996)
+           .select("o_custkey").distinct())
+    both = y95.intersect(y96).withColumn("segment", F.lit("both_years"))
+    only95 = y95.exceptAll(y96).withColumn("segment", F.lit("only_1995"))
+    return (both.unionByName(only95)
+            .select(F.col("o_custkey").alias("custkey"), "segment"))
+
+
+def q30_date_normalization(spark, sf_dir):
+    """The reference's date ops natively: DD-Mon-YY output format
+    (backend/ocr_service.py:1442-1458) and the passport issue-date fallback
+    expiry − 10 years + 1 day (:1484-1491).  Day <= 28 keeps month-end
+    clamping semantics identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.filter(F.dayofmonth("o_orderdate") <= 28)
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "dd-MMM-yy").alias("order_dmy"),
+                    F.date_format(
+                        F.date_add(F.add_months("o_orderdate", -120), 1),
+                        "yyyy-MM-dd").alias("issue_fallback"),
+                    F.quarter("o_orderdate").alias("qtr")))
+
+
+def q31_vector_norms(spark, sf_dir):
+    """Array higher-order functions (aggregate/size) JVM-side: per-vector
+    L2 norm without any UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return emb.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"))
+
+
+def q32_media_features(spark, sf_dir):
+    """Multimodal plumbing: explode media spans, extract typed metadata per
+    ref via an Arrow-batched UDF (decode stub seam in
+    functions/multimodal.py).  Rows-only: the decode is not expressible in
+    SQL; its correctness oracle is the pipeline equality suite which rides
+    the same decode."""
+    from .functions.multimodal import media_meta
+    docs = _synthetic_docs_df(spark)
+    media = (docs.select("doc_id", F.explode("spans").alias("s"))
+             .filter(F.col("s.kind") == "media")
+             .select("doc_id", media_meta(F.col("s.media_ref")).alias("m")))
+    return (media.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.sum("m.n_tokens").alias("n_tokens"),
+                 F.min("m.w").alias("min_w"),
+                 F.round(F.avg("m.mean_token_conf"), 4).alias("avg_conf")))
+
+
+def q33_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) next to the exact count — the cheap
+    per-partition lineage census the metrics sidecar uses (SURVEY.md §2.7).
+    Rows-only: sketch estimates are engine-specific by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -689,8 +767,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.doc_id < b.doc_id
     """,
-    # q27/q28 intentionally absent: extraction pipeline has no SQL oracle;
-    # its strong check is the pytest span-sequence equality suite.
+    "q29_set_ops": """
+        SELECT custkey, segment FROM (
+          SELECT o_custkey AS custkey, 'both_years' AS segment FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+          UNION ALL
+          SELECT o_custkey, 'only_1995' FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996))
+    """,
+    "q30_date_normalization": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%d-%b-%y') AS order_dmy,
+               strftime(o_orderdate - INTERVAL 10 YEAR + INTERVAL 1 DAY,
+                        '%Y-%m-%d') AS issue_fallback,
+               quarter(o_orderdate) AS qtr
+        FROM orders WHERE day(o_orderdate) <= 28
+    """,
+    "q31_vector_norms": """
+        SELECT vec_id, label, len(embedding) AS dim,
+               round(sqrt(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                     4) AS l2_norm
+        FROM embeddings
+    """,
+    # q27/q28/q32/q33 intentionally absent: the extraction pipeline and the
+    # media decode have no SQL oracle (their strong check is the pytest
+    # span-sequence equality suite); approx_count_distinct sketches are
+    # engine-specific by construction.
 }
 
 QUERIES = {
@@ -722,4 +829,9 @@ QUERIES = {
     "q26_hourly_event_stats": q26_hourly_event_stats,
     "q27_extraction_pipeline": q27_extraction_pipeline,
     "q28_extraction_fields_long": q28_extraction_fields_long,
+    "q29_set_ops": q29_set_ops,
+    "q30_date_normalization": q30_date_normalization,
+    "q31_vector_norms": q31_vector_norms,
+    "q32_media_features": q32_media_features,
+    "q33_approx_distinct": q33_approx_distinct,
 }

@@ -1,0 +1,129 @@
+"""Structured Streaming operators: incremental ingest + sessionization.
+
+The reference has no streaming surface (uploads are request/response), but
+its v1 BackgroundTasks lifecycle (backend/main_v1.py:111-157) is micro-batch
+shaped: work arrives continuously, each unit flows pending -> processing ->
+terminal.  These operators give the engine that continuous-ingest form:
+
+* ``extract_stream``   — run the extraction pipeline's light path over a
+  streaming docs source (files arriving in a lake directory), micro-batch
+  at a time via ``foreachBatch`` so the exact batch pipeline (including its
+  skew split) is reused unchanged.
+* ``sessionize_stream`` — gap-based sessions over the events stream with
+  watermarked event-time state (``applyInPandasWithState``); the batch twin
+  is queries.q25_sessionization.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StructField, StructType, TimestampType)
+
+SESSION_GAP_S = 1800  # same 30-min gap as the batch q25
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", IntegerType()),
+    StructField("total_value", DoubleType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_ts", DoubleType()),
+    StructField("last_ts", DoubleType()),
+    StructField("n_events", IntegerType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def _utc(ts: float):
+    import datetime
+    return datetime.datetime.fromtimestamp(
+        ts, datetime.timezone.utc).replace(tzinfo=None)
+
+
+def _sessionize_group(key, pdfs: Iterable[pd.DataFrame],
+                      state: GroupState):
+    """Emit closed sessions; keep the open one in state.
+
+    Timeout closes a session when the watermark passes last_ts + gap, so
+    late events inside the watermark still extend their session.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_ts, last_ts, n, total = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": user_id,
+            "session_start": _utc(start_ts),
+            "session_end": _utc(last_ts),
+            "n_events": int(n), "total_value": float(total)}])
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    ts = rows["ts"].map(lambda t: t.timestamp()).to_numpy()
+    vals = rows["value"].to_numpy()
+
+    if state.exists:
+        start_ts, last_ts, n, total = state.get
+    else:
+        start_ts, last_ts, n, total = float(ts[0]), float(ts[0]) - 1.0, 0, 0.0
+
+    closed = []
+    for t, v in zip(ts, vals):
+        if n > 0 and t - last_ts > SESSION_GAP_S:
+            closed.append((start_ts, last_ts, n, total))
+            start_ts, n, total = float(t), 0, 0.0
+        last_ts = float(t)
+        n += 1
+        total += float(v)
+
+    state.update((start_ts, last_ts, int(n), float(total)))
+    state.setTimeoutTimestamp(int((last_ts + SESSION_GAP_S) * 1000))
+    if closed:
+        yield pd.DataFrame([{
+            "user_id": user_id,
+            "session_start": _utc(s), "session_end": _utc(e),
+            "n_events": int(c), "total_value": float(v)}
+            for (s, e, c, v) in closed])
+
+
+def sessionize_stream(events: DataFrame,
+                      watermark: str = "1 hour") -> DataFrame:
+    """events(ts, user_id, value, ...) stream -> closed-session stream."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_group, SESSION_SCHEMA, _STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def extract_stream(spark, docs_path: str, lake_root: str, n_buckets: int,
+                   checkpoint_dir: str, schema=None):
+    """Continuous extraction over a docs directory: each micro-batch runs
+    the unchanged batch pipeline + lake commit via foreachBatch."""
+    from ..pipeline import DOCS_SCHEMA, fields_long, run_pipeline
+    from ..jobs import lake as L
+
+    lake = L.Lake(lake_root, n_buckets)
+    stream = (spark.readStream.schema(schema or DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(docs_path))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        results = (run_pipeline(batch_df.select("doc_id", "spans"))
+                   .withColumn("bucket", lake.bucket_col()))
+        L.append(results, lake, L.RESULTS)
+        L.append(fields_long(results).withColumn(
+            "bucket", lake.bucket_col()), lake, L.FIELDS_LONG)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(commit_batch))

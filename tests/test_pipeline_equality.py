@@ -16,15 +16,19 @@ def corpus():
     return generate_docs(N_DOCS)
 
 
-@pytest.fixture(scope="module")
-def spark_results(spark, corpus):
+# None = cost-model auto (cheap synthetic decode -> zero-shuffle direct
+# path); 16 = forced low threshold so media-heavy fixture docs exercise the
+# salted explode/regroup path.  Equality must hold on BOTH physical plans.
+@pytest.fixture(scope="module", params=[None, 16],
+                ids=["auto-direct", "forced-salt"])
+def spark_results(request, spark, corpus):
     from ocr_documents_spark.pipeline import DOCS_SCHEMA, run_pipeline
     docs = spark.createDataFrame(
         [(d["doc_id"],
           [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
          for d in corpus],
         DOCS_SCHEMA)
-    rows = run_pipeline(docs).collect()
+    rows = run_pipeline(docs, heavy_threshold=request.param).collect()
     return {r["doc_id"]: r for r in rows}
 
 

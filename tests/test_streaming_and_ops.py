@@ -1,0 +1,137 @@
+"""Structured Streaming sessionization/ingest + lake maintenance ops
+(S8 delete, S9 field-correction MERGE, S10 CSV export)."""
+
+import datetime
+import glob
+import os
+
+import pytest
+
+from ocr_documents_spark.fixtures.gen import generate_docs, write_docs_parquet
+from ocr_documents_spark.jobs import extract as job
+from ocr_documents_spark.jobs import lake as L
+
+T0 = datetime.datetime(2024, 5, 1, 8, 0, 0)
+
+
+def _mins(m):
+    return T0 + datetime.timedelta(minutes=m)
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    """A >30-min gap closes the session mid-stream (no timeout needed)."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_file(name, rows):
+        pq.write_table(pa.Table.from_pylist(
+            rows, schema=pa.schema([("ts", pa.timestamp("us")),
+                                    ("user_id", pa.int64()),
+                                    ("value", pa.float64())])),
+            os.path.join(src, name))
+
+    # file order == arrival order (maxFilesPerTrigger=1 -> one batch each)
+    write_file("f1.parquet", [
+        {"ts": _mins(0), "user_id": 1, "value": 2.0},
+        {"ts": _mins(5), "user_id": 1, "value": 3.0},
+        {"ts": _mins(2), "user_id": 2, "value": 1.0},
+    ])
+    write_file("f2.parquet", [
+        {"ts": _mins(180), "user_id": 1, "value": 7.0},  # >30min gap
+    ])
+
+    from ocr_documents_spark.streaming.sessionize import sessionize_stream
+    events = (spark.readStream
+              .schema("ts timestamp, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(events, watermark="10 minutes")
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    closed = {(r["user_id"], r["n_events"], r["total_value"],
+               r["session_start"], r["session_end"]) for r in rows}
+    assert closed == {
+        # user 1's first session: closed mid-stream by the >30min gap
+        (1, 2, 5.0, _mins(0), _mins(5)),
+        # user 2's single-event session: closed by event-time TIMEOUT once
+        # the watermark (03:00 - 10min) passed its 00:02+30min deadline
+        (2, 1, 1.0, _mins(2), _mins(2)),
+        # user 1's 03:00 session must NOT appear: its 03:30 deadline is
+        # beyond the final watermark 02:50 -> still open in state
+    }
+
+
+def test_extract_stream_matches_batch(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    write_docs_parquet(docs_path, 30, docs_per_file=10)
+    lake_root = str(tmp_path / "lake")
+
+    from ocr_documents_spark.streaming.sessionize import extract_stream
+    q = (extract_stream(spark, docs_path, lake_root, n_buckets=4,
+                        checkpoint_dir=str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    results = spark.read.parquet(os.path.join(lake_root, L.RESULTS))
+    assert results.count() == 30
+    from ocr_documents_spark.extractors.pipeline_pure import process_document
+    got = {r["doc_id"]: r for r in results.collect()}
+    for d in generate_docs(30):
+        golden = process_document(d["doc_id"], d["spans"])
+        assert got[d["doc_id"]]["status"] == golden["status"]
+
+
+@pytest.fixture(scope="module")
+def small_lake(spark, tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("c") / "docs")
+    write_docs_parquet(corpus, 60, docs_per_file=20)
+    root = str(tmp_path_factory.mktemp("lake2"))
+    job.run(spark, corpus, root, 4, claimed=[0, 1, 2, 3])
+    return L.Lake(root, 4)
+
+
+def test_field_correction_merge(spark, small_lake):
+    fl = spark.read.parquet(small_lake.path(L.FIELDS_LONG))
+    victim = fl.filter(fl.field_value.isNotNull()).first()
+    corrections = spark.createDataFrame(
+        [(victim["doc_id"], victim["field_name"], "CORRECTED_VALUE")],
+        "doc_id string, field_name string, new_value string")
+    n_before = fl.count()
+    touched = L.apply_field_corrections(spark, small_lake, corrections)
+    assert touched == 1
+
+    after = spark.read.parquet(small_lake.path(L.FIELDS_LONG))
+    assert after.count() == n_before  # update, not insert
+    updated = after.filter(
+        (after.doc_id == victim["doc_id"])
+        & (after.field_name == victim["field_name"])).collect()
+    assert [r["field_value"] for r in updated] == ["CORRECTED_VALUE"]
+
+
+def test_delete_document_cascades(spark, small_lake):
+    results = spark.read.parquet(small_lake.path(L.RESULTS))
+    victim = results.select("doc_id").first()["doc_id"]
+    n_before = results.count()
+    L.delete_document(spark, small_lake, victim)
+    assert spark.read.parquet(small_lake.path(L.RESULTS)).filter(
+        f"doc_id = '{victim}'").count() == 0
+    assert spark.read.parquet(small_lake.path(L.FIELDS_LONG)).filter(
+        f"doc_id = '{victim}'").count() == 0
+    assert spark.read.parquet(small_lake.path(L.RESULTS)).count() == n_before - 1
+
+
+def test_csv_export(spark, small_lake, tmp_path):
+    out = str(tmp_path / "export")
+    results = spark.read.parquet(small_lake.path(L.RESULTS))
+    L.export_results_csv(results, out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert len(files) == 1  # coalesced single file
+    header = open(files[0]).readline().strip().split(",")
+    assert header == ["doc_id", "document_type", "status",
+                      "confidence", "n_fields", "n_pages"]

@@ -1,0 +1,187 @@
+"""Scaling-efficiency evidence: the same extraction job at N and 4N cores.
+
+BASELINE.json's north rule requires >=0.8 throughput scaling efficiency
+from N to 4N executors.  This sandbox has one machine, so (as TESTDATA.md
+directs) we evidence it by running the identical job over the identical
+input at two parallelism levels — local[8] and local[32], with shuffle
+partitions scaled to match, exactly what a cluster resize does — and
+reporting docs/sec at both plus efficiency = (throughput_4N/throughput_N)/4.
+
+**Hardware-ceiling control.**  A real N->4N resize adds MACHINES, each with
+its own memory bus and thermal budget.  This VM's 32 vCPUs do not behave
+like that: a zero-coordination multiprocessing control (plain
+ProcessPoolExecutor running the pure-Python oracle, no Spark, no shuffles,
+no JVM) measures what the box itself yields going 8 -> 32 busy cores.  The
+control is the upper bound ANY software can reach here, so the bench
+reports raw Spark efficiency AND efficiency normalized to the control:
+normalized = spark_speedup / control_speedup.  Spark meeting the control
+means the pipeline adds no scaling bottleneck of its own — which is what
+the 4N-executor criterion is actually probing.
+
+Each level runs in its own subprocess (fresh JVM: no cross-level cache
+pollution), warms Python workers + codegen first, then takes the best of
+REPEATS timed runs (steady-state throughput; a long-lived cluster pays
+startup once per executor, not per job).
+
+Usage: python tools/scaling_bench.py [--mult M]     # orchestrates both
+       python tools/scaling_bench.py --measure P    # one level (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LEVELS = (8, 32)
+REPEATS = 3   # timed runs inside one session (best-of)
+ROUNDS = 3    # interleaved (N, 4N) session pairs; median pair reported
+SF = 0.1
+# 2x the regular bench corpus: at 30k docs the 32-core run is fixed-
+# overhead-bound (~2.8s of scheduling/scan setup on ~4s of compute), which
+# understates scalability; 60k docs amortizes it while keeping the
+# multi-repeat protocol affordable
+DEFAULT_MULT = 20
+CONTROL_DOCS = 12000
+
+
+def _control_work(args):
+    """Time ONLY the oracle computation; doc generation is untimed setup."""
+    lo, hi, reps = args
+    from ocr_documents_spark.extractors.pipeline_pure import process_document
+    from ocr_documents_spark.fixtures.gen import make_document
+    docs = [make_document(i) for i in range(lo, hi)]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for d in docs:
+            process_document(d["doc_id"], d["spans"])
+    return (hi - lo) * reps, time.perf_counter() - t0
+
+
+def hardware_control(procs: int, per_proc: int = 700, reps: int = 3) -> dict:
+    """Zero-coordination parallel ceiling: the pure-Python oracle under
+    ProcessPoolExecutor.  No Spark, no shuffles, no serialization —
+    anything below 4x here is the machine (vCPU contention / memory
+    bandwidth), not the engine."""
+    from concurrent.futures import ProcessPoolExecutor
+    chunks = [(i * per_proc, (i + 1) * per_proc, reps) for i in range(procs)]
+    with ProcessPoolExecutor(max_workers=procs) as ex:
+        res = list(ex.map(_control_work, chunks))
+    n = sum(r[0] for r in res)
+    wall = max(r[1] for r in res)
+    return {"procs": procs, "docs": n, "wall_s": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1)}
+
+
+def corpus(mult: int) -> tuple[str, int]:
+    from bench import corpus_path
+    from ocr_documents_spark.fixtures.gen import docs_for_sf
+    n_docs = docs_for_sf(SF) * mult
+    return corpus_path(SF, n_docs), n_docs
+
+
+def measure(parallelism: int, mult: int) -> dict:
+    from ocr_documents_spark.fixtures.gen import generate_docs
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA, read_docs, run_pipeline
+    from ocr_documents_spark.session import get_spark
+
+    path, n_docs = corpus(mult)
+    spark = get_spark(f"scaling-bench-{parallelism}",
+                      master=f"local[{parallelism}]",
+                      shuffle_partitions=parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm: python workers, Arrow serializers, codegen for all stage shapes
+    warm_rows = [(d["doc_id"],
+                  [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                   for s in d["spans"]])
+                 for d in generate_docs(parallelism * 4)]
+    warm = spark.createDataFrame(warm_rows, DOCS_SCHEMA).repartition(parallelism)
+    warm_pipeline = run_pipeline(warm, heavy_threshold=4)
+    warm_pipeline.write.format("noop").mode("overwrite").save()
+    warm_pipeline.write.format("noop").mode("overwrite").save()
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
+    docs = read_docs(spark, path)
+    docs.count()
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run_pipeline(docs).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    spark.stop()
+    best = min(times)
+    return {"parallelism": parallelism, "docs": n_docs,
+            "times_s": [round(t, 3) for t in times],
+            "best_s": round(best, 3),
+            "docs_per_sec": round(n_docs / best, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure", type=int, default=None)
+    ap.add_argument("--mult", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALING_MULT",
+                                               str(DEFAULT_MULT))))
+    args = ap.parse_args()
+
+    if args.measure:
+        print("RESULT " + json.dumps(measure(args.measure, args.mult)))
+        return
+
+    corpus(args.mult)  # generate once, outside the timed subprocesses
+
+    controls = {}
+    for p in LEVELS:
+        controls[p] = hardware_control(p)
+        time.sleep(10)
+
+    # interleaved rounds: this VM's throughput drifts over minutes (vCPU
+    # contention / page cache), so measure N and 4N back-to-back per round
+    # and pair them — slow drift then hits both levels of a pair equally
+    rounds = []
+    for _ in range(ROUNDS):
+        pair = {}
+        for p in LEVELS:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--measure", str(p), "--mult", str(args.mult)]
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3600)
+            line = next(l for l in proc.stdout.splitlines()
+                        if l.startswith("RESULT "))
+            pair[p] = json.loads(line[len("RESULT "):])
+            time.sleep(10)
+        rounds.append(pair)
+
+    n, n4 = LEVELS
+    factor = n4 / n
+    per_round = [r[n4]["docs_per_sec"] / r[n]["docs_per_sec"] for r in rounds]
+    spark_speedup = sorted(per_round)[len(per_round) // 2]  # median pair
+    best = {p: max(r[p]["docs_per_sec"] for r in rounds) for p in LEVELS}
+    ceiling_speedup = (controls[n4]["docs_per_sec"]
+                       / controls[n]["docs_per_sec"])
+    eff = spark_speedup / factor
+    out = {"rounds": rounds,
+           "best_docs_per_sec": best,
+           "hardware_control": controls,
+           "scaling_factor": factor,
+           "per_round_speedup": [round(s, 3) for s in per_round],
+           "spark_speedup_median_pair": round(spark_speedup, 3),
+           "hardware_ceiling_speedup": round(ceiling_speedup, 3),
+           "scaling_efficiency_raw": round(eff, 3),
+           "scaling_efficiency_vs_ceiling":
+               round(min(1.0, spark_speedup / ceiling_speedup), 3),
+           "raw_meets_0.8": eff >= 0.8,
+           "vs_ceiling_meets_0.8": spark_speedup / ceiling_speedup >= 0.8}
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
