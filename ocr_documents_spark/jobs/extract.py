@@ -35,6 +35,7 @@ from pyspark.sql import SparkSession
 # package; the package itself arrives via --py-files
 from ocr_documents_spark.pipeline import fields_long, read_docs, run_pipeline
 from ocr_documents_spark.jobs import lake as L
+from ocr_documents_spark.sources.ingest import split_valid
 
 
 def parse_range(spec: str, n_buckets: int) -> List[int]:
@@ -61,7 +62,10 @@ def run(spark: SparkSession, input_path: str, lake_root: str,
     docs = (read_docs(spark, input_path)
             .withColumn("bucket", lake.bucket_col())
             .filter(F_isin_buckets(pending)))
-    results = (run_pipeline(docs.select("doc_id", "spans"),
+    valid, rejects = split_valid(docs.select("doc_id", "spans", "bucket"))
+    L.write_bucketed(rejects.select("doc_id", "reject_reason", "bucket"),
+                     lake, L.REJECTS)
+    results = (run_pipeline(valid.select("doc_id", "spans"),
                             skip_quality_check=skip_quality_check)
                .withColumn("bucket", lake.bucket_col()))
 

@@ -41,6 +41,7 @@ RESULTS = "results"
 FIELDS_LONG = "fields_long"
 METRICS = "metrics"
 CHECKPOINTS = "checkpoints"
+REJECTS = "rejects"
 
 
 @dataclass
@@ -107,7 +108,9 @@ def bucket_metrics(results_with_bucket: DataFrame, run_id: str,
         F.sum(F.when(s == "rejected_quality", 1).otherwise(0)).alias("n_rejected_quality"),
         F.sum(F.when(s == "rejected_classification", 1).otherwise(0)).alias("n_rejected_classification"),
         F.sum(F.size("fields")).alias("n_fields"),
-        F.avg("overall_confidence").alias("avg_confidence"))
+        F.avg("overall_confidence").alias("avg_confidence"),
+        # HLL++ sketch: cheap dedup audit per range without a distinct shuffle
+        F.approx_count_distinct("doc_id").alias("approx_distinct_doc_ids"))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("run_wall_s", F.lit(float(wall_s)))
         .withColumn("committed_at", F.lit(time.time())))
