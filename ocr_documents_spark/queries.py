@@ -32,6 +32,9 @@ STOPWORDS = ["the", "a", "and", "of", "to"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp rendering must match the (naive-UTC) DuckDB oracle even if
+    # the harness session was built with a non-UTC default timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
