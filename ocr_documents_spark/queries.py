@@ -24,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select, md5_int60,
-                                minhash_agg, simhash_bit_votes, simhash_from_votes)
+from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select,
+                                md5_int60, simhash_bit_votes,
+                                simhash_from_votes)
 from .functions.vectors import cosine, sign_bucket
 
 STOPWORDS = ["the", "a", "and", "of", "to"]
@@ -161,25 +162,64 @@ def q12_exact_dedup(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+def _words_col():
+    return F.filter(F.split("text", " "), lambda x: x != "")
+
+
+def _ngrams_over(words, n: int):
+    """Word n-grams via higher-order array functions — entirely JVM-side,
+    ZERO shuffle (the explode+window formulation shuffles every token by
+    doc_id; at 100 TB that shuffle dwarfs the actual hashing).
+
+    ``words`` MUST be a materialized column reference, not an inline
+    expression: element_at inside the transform lambda would otherwise
+    re-evaluate the split per gram element — O(n²) per document.
+    """
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    return F.when(F.size(words) >= n, F.transform(idx, gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def _shingles3(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id",
-                        F.posexplode(F.split("text", " ")).alias("pos", "word"))
-            .filter(F.col("word") != ""))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (toks.withColumn("w1", F.lead("word", 1).over(w))
-            .withColumn("w2", F.lead("word", 2).over(w))
-            .filter(F.col("w2").isNotNull())
-            .select("doc_id",
-                    F.concat_ws(" ", "word", "w1", "w2").alias("shingle")))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _words_col().alias("words"))
+    return docs.select(
+        "doc_id", F.explode(_ngrams_over(F.col("words"), 3)).alias("shingle"))
 
 
 def q13_minhash_signatures(spark, sf_dir):
     """MinHash over word 3-gram shingles, 4 salted md5 hash functions,
-    banded 2x2 for LSH (shingle -> minhash -> band)."""
-    sh = _shingles3(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[minhash_agg(F.col("shingle"), j).alias(f"h{j}") for j in range(4)])
+    banded 2x2 for LSH (shingle -> minhash -> band).
+
+    Entirely per-row: shingling, hashing, and the min all happen inside
+    array expressions (array_min == the groupBy-min over exploded shingles,
+    both lexicographic) — the signature stage has ZERO shuffle, so at
+    100 TB it runs at scan speed."""
+    # pre-balance the docs before the CPU-heavy per-row hashing: one narrow
+    # shuffle of (doc_id, words) — still strictly less data motion than
+    # exploding every token, and immune to unsplittable source files.  The
+    # Exchange doubles as a materialization barrier: Project-collapse would
+    # otherwise inline the words expression into every element_at of the
+    # n-gram builder (O(n^2) re-splits per document).
+    # the non-empty check rides the cheap words column: a size(shingles)>0
+    # filter would be pushed below the exchange and re-inline the whole
+    # n-gram construction against raw text just to test emptiness
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", _words_col().alias("words"))
+            .filter(F.size("words") >= 3)
+            .repartition("doc_id")
+            .select("doc_id", _ngrams_over(F.col("words"), 3).alias("shingles")))
+    def salted(j):
+        # NB: a `lambda s, j=j` would be read by pyspark as the TWO-ARG
+        # (element, index) transform signature — closure factory instead
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = docs.select(
+        "doc_id",
+        *[F.array_min(F.transform("shingles", salted(j))).alias(f"h{j}")
+          for j in range(4)])
     return sig.select(
         "doc_id", "h0", "h1", "h2", "h3",
         F.md5(F.concat("h0", "h1")).alias("band0"),
@@ -200,14 +240,26 @@ def q14_lsh_candidate_pairs(spark, sf_dir):
 
 
 def q15_simhash(spark, sf_dir):
-    """16-bit SimHash: per-token 60-bit md5 hash, ±1 votes per bit."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-            .filter(F.col("word") != "")
-            .withColumn("th", md5_int60(F.col("word"))))
-    agg = toks.groupBy("doc_id").agg(
-        *[F.sum(simhash_bit_votes(F.col("th"), b)).alias(f"v{b}")
-          for b in range(SIMHASH_BITS)])
+    """16-bit SimHash: per-token 60-bit md5 hash, ±1 votes per bit.
+
+    Votes fold per-row with aggregate() over the token-hash array — zero
+    shuffle, unlike the explode+groupBy formulation which moves every
+    token across the wire."""
+    # hash pre-shuffle (the 8-byte hash array is SMALLER than the text);
+    # the Exchange materializes it so the 16 per-bit aggregates below fold
+    # over the stored array instead of re-hashing every token 16 times
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", _words_col().alias("words"))
+            .filter(F.size("words") > 0)
+            .select("doc_id",
+                    F.transform("words", md5_int60).alias("th"))
+            .repartition("doc_id"))
+    def voter(b):
+        return lambda acc, h: acc + simhash_bit_votes(h, b)
+
+    votes = [F.aggregate("th", F.lit(0), voter(b)).alias(f"v{b}")
+             for b in range(SIMHASH_BITS)]
+    agg = docs.select("doc_id", *votes)
     return agg.select(
         "doc_id",
         simhash_from_votes([F.col(f"v{b}") for b in range(SIMHASH_BITS)])
@@ -216,16 +268,12 @@ def q15_simhash(spark, sf_dir):
 
 def q16_bigram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup: same-source pairs over distinct bigrams."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", "source",
-                        F.posexplode(F.split("text", " ")).alias("pos", "word"))
-            .filter(F.col("word") != ""))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (toks.withColumn("w1", F.lead("word", 1).over(w))
-               .filter(F.col("w1").isNotNull())
-               .select("doc_id", "source",
-                       F.concat_ws(" ", "word", "w1").alias("bigram"))
-               .distinct())
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _words_col().alias("words"))
+    bigrams = (docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            _ngrams_over(F.col("words"), 2))).alias("bigram")))
     sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = bigrams.alias("a"), bigrams.alias("b")
     inter = (a.join(b, (F.col("a.bigram") == F.col("b.bigram"))
@@ -310,8 +358,10 @@ def q21_knn_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     c = emb.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    scored = (q.join(F.broadcast(c)) if False else q.crossJoin(c)) \
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    # broadcast the (tiny) query set; the big candidate side never moves —
+    # plan shows BroadcastNestedLoopJoin, not a shuffle
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
