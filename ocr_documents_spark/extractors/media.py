@@ -22,10 +22,17 @@ from __future__ import annotations
 
 import base64
 import json
+import os
+import time
 import zlib
 from typing import Any
 
 MEDIA_REF_PREFIX = "m:"
+
+# simulate an expensive OCR engine (per-media-decode latency, ms) so the
+# salted skew path can be DEMONSTRATED, not just asserted — see
+# tools/skew_demo.py.  0 (default) = the pure deterministic decoder.
+_SIM_OCR_MS = float(os.environ.get("SPARK_GRAFT_SIMULATED_OCR_MS", "0"))
 
 # QC metrics reported when a media payload is unreadable: fails every gate.
 _QC_UNREADABLE = {
@@ -46,6 +53,8 @@ def decode_media_ref(media_ref: str) -> tuple[str, float, dict[str, Any]]:
     This is the pluggable OCR seam: swap the payload decode for a real
     engine call and keep the (sort, join, mean-confidence) contract.
     """
+    if _SIM_OCR_MS > 0:
+        time.sleep(_SIM_OCR_MS / 1000.0)
     try:
         payload = media_ref.split(":", 3)[3]
         blob = zlib.decompress(base64.b32decode(payload))

@@ -228,8 +228,16 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
 
     if salt:
         # spread media-heavy documents across tasks; without this, a doc
-        # with 4096 media spans pins its entire recovery to one input split
-        spans = spans.repartition("doc_id", "span_idx")
+        # with 4096 media spans pins its entire recovery to one input split.
+        # The partition count is EXPLICIT: AQE coalesces shuffles by bytes,
+        # and a few thousand span rows look tiny even when each costs
+        # ~100ms-1s of OCR — byte-based coalescing would serialize exactly
+        # the work this shuffle exists to spread (user-specified counts are
+        # exempt from AQE coalescing).
+        sess = docs.sparkSession
+        n_parts = max(sess.sparkContext.defaultParallelism * 2,
+                      int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
+        spans = spans.repartition(n_parts, "doc_id", "span_idx")
 
     rec = spans.select(
         "doc_id",
