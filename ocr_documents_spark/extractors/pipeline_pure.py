@@ -76,7 +76,8 @@ def rejected_quality_result(doc_id: str, n_spans: int) -> Dict[str, Any]:
     }
 
 
-def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
+                      forced_type: Optional[str] = None) -> Dict[str, Any]:
     """Steps 3-5 over already-recovered, quality-passed pages.
 
     This is the exact function the Spark heavy-path finalize stage
@@ -84,6 +85,13 @@ def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]]) -> Dict[str,
     JVM-side on the first media span's metrics, mirroring the oracle's
     cheap-first order.  Sharing it is what makes span-sequence equality
     structural rather than aspirational.
+
+    ``forced_type`` mirrors the reference's explicit ``document_type``
+    upload parameter (backend/main.py:175-188): classification and its
+    gate are skipped entirely.  This is the ONLY way LABOR_CONTRACT
+    documents are processable — neither our classifier nor the reference's
+    has rules for that type (enhanced_document_classifier.py:76-328),
+    so auto-detect faithfully rejects them.
     """
     raw_text = "\n".join(p["text"] for p in pages)
     confs = [p["confidence"] for p in pages]
@@ -99,7 +107,10 @@ def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]]) -> Dict[str,
         "n_pages": len(pages),
     }
 
-    doc_type, conf = classify_enhanced(raw_text)
+    if forced_type is not None:
+        doc_type, conf = forced_type, 100.0
+    else:
+        doc_type, conf = classify_enhanced(raw_text)
     result["document_type"] = doc_type
     result["classify_confidence"] = conf
     if doc_type == "UNKNOWN" or conf < CLASSIFY_MIN_CONFIDENCE:
@@ -165,11 +176,12 @@ def document_quality_ok(spans: Sequence[Any],
 
 
 def process_document(doc_id: str, spans: Sequence[Any],
-                     skip_quality_check: bool = False) -> Dict[str, Any]:
+                     skip_quality_check: bool = False,
+                     forced_type: Optional[str] = None) -> Dict[str, Any]:
     """Full oracle pipeline for one document (gate first, then recover)."""
     if not document_quality_ok(spans, skip_quality_check):
         return rejected_quality_result(doc_id, len(spans))
-    return process_recovered(doc_id, recover_pages(spans))
+    return process_recovered(doc_id, recover_pages(spans), forced_type)
 
 
 def out_spans_for_document(doc_id: str, spans: Sequence[Any]) -> List[OutSpan]:

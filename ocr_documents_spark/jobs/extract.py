@@ -48,7 +48,8 @@ def parse_range(spec: str, n_buckets: int) -> List[int]:
 
 def run(spark: SparkSession, input_path: str, lake_root: str,
         n_buckets: int, claimed: List[int],
-        skip_quality_check: bool = False) -> dict:
+        skip_quality_check: bool = False,
+        document_type: str | None = None) -> dict:
     lake = L.Lake(lake_root, n_buckets)
     run_id = L.new_run_id()
     pending = L.pending_buckets(spark, lake, claimed)
@@ -66,7 +67,8 @@ def run(spark: SparkSession, input_path: str, lake_root: str,
     L.write_bucketed(rejects.select("doc_id", "reject_reason", "bucket"),
                      lake, L.REJECTS)
     results = (run_pipeline(valid.select("doc_id", "spans"),
-                            skip_quality_check=skip_quality_check)
+                            skip_quality_check=skip_quality_check,
+                            forced_type=document_type)
                .withColumn("bucket", lake.bucket_col()))
 
     # one pass computes results; reuse it for fields + metrics without
@@ -101,13 +103,17 @@ def main(argv: List[str] | None = None) -> int:
                    help="bucket range lo:hi (half-open) or comma list; "
                         "default = all buckets")
     p.add_argument("--skip-quality-check", action="store_true")
+    p.add_argument("--document-type", default=None,
+                   help="skip classification; extract every doc as this "
+                        "type (reference: explicit document_type upload)")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("ocr-documents-extract").getOrCreate()
     claimed = (parse_range(args.range_spec, args.buckets)
                if args.range_spec else list(range(args.buckets)))
     report = run(spark, args.input, args.lake, args.buckets, claimed,
-                 skip_quality_check=args.skip_quality_check)
+                 skip_quality_check=args.skip_quality_check,
+                 document_type=args.document_type)
     print(report)
     spark.stop()
     return 0

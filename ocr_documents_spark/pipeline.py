@@ -133,26 +133,28 @@ _RESULT_KEYS = ("doc_id", "document_type", "classify_confidence",
                 "out_spans")
 
 
-def _finalize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _finalize_batches(forced_type: str | None = None):
     """Classify + extract + status per document over recovered pages.
 
     Imports inside the function body so the closure ships cleanly via
     --py-files; rule tables compile once per executor process at import.
     """
-    from ocr_documents_spark.extractors.pipeline_pure import process_recovered
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_documents_spark.extractors.pipeline_pure import process_recovered
 
-    for pdf in batches:
-        rows = {k: [] for k in _RESULT_KEYS}
-        for doc_id, pages_raw in zip(pdf["doc_id"], pdf["pages"]):
-            pages = [{"text": p["text"] if p["text"] is not None else "",
-                      "confidence": float(p["confidence"]),
-                      "media_ref": p["media_ref"]} for p in pages_raw]
-            r = process_recovered(doc_id, pages)
-            _append_result(rows, r)
-        yield pd.DataFrame(rows)
+        for pdf in batches:
+            rows = {k: [] for k in _RESULT_KEYS}
+            for doc_id, pages_raw in zip(pdf["doc_id"], pdf["pages"]):
+                pages = [{"text": p["text"] if p["text"] is not None else "",
+                          "confidence": float(p["confidence"]),
+                          "media_ref": p["media_ref"]} for p in pages_raw]
+                r = process_recovered(doc_id, pages, forced_type)
+                _append_result(rows, r)
+            yield pd.DataFrame(rows)
+    return fn
 
 
-def _direct_batches(skip_quality_check: bool):
+def _direct_batches(skip_quality_check: bool, forced_type: str | None = None):
     """Whole-document single-pass stage for the light path.
 
     Runs the same shared per-document functions as the oracle
@@ -165,8 +167,10 @@ def _direct_batches(skip_quality_check: bool):
         for pdf in batches:
             rows = {k: [] for k in _RESULT_KEYS}
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                r = process_document(doc_id, list(spans),
-                                     skip_quality_check=skip_quality_check)
+                r = process_document(
+                    doc_id, [] if spans is None else list(spans),
+                    skip_quality_check=skip_quality_check,
+                    forced_type=forced_type)
                 _append_result(rows, r)
             yield pd.DataFrame(rows)
     return fn
@@ -258,7 +262,8 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
 
 def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
                  salt: bool = True,
-                 heavy_threshold: int | None = None) -> DataFrame:
+                 heavy_threshold: int | None = None,
+                 forced_type: str | None = None) -> DataFrame:
     """Full extraction: docs(doc_id, spans) -> RESULT_SCHEMA DataFrame.
 
     Skew-split: documents with ``size(spans) <= heavy_threshold`` run the
@@ -269,22 +274,27 @@ def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
     cheap recovery -> everything direct, zero shuffles; expensive OCR ->
     media-heavy docs fan out.  ``salt=False`` forces everything through the
     direct stage regardless.
+
+    ``forced_type`` skips classification and extracts every document as
+    that type — the reference's explicit ``document_type`` upload parameter
+    (backend/main.py:175-188), and the only path that can process
+    LABOR_CONTRACT (no classifier rules exist for it, by parity).
     """
     if heavy_threshold is None:
         heavy_threshold = auto_heavy_threshold()
     if not salt or heavy_threshold >= NO_SALT_CUTOFF:
-        return docs.mapInPandas(_direct_batches(skip_quality_check),
-                                RESULT_SCHEMA)
+        return docs.mapInPandas(
+            _direct_batches(skip_quality_check, forced_type), RESULT_SCHEMA)
     n = F.size("spans")
     light = docs.filter(n <= heavy_threshold).mapInPandas(
-        _direct_batches(skip_quality_check), RESULT_SCHEMA)
+        _direct_batches(skip_quality_check, forced_type), RESULT_SCHEMA)
 
     gated = with_quality_gate(docs.filter(n > heavy_threshold),
                               skip_quality_check)
     rejected = rejected_quality_results(gated.filter(~F.col("quality_ok")))
     passed = gated.filter(F.col("quality_ok")).drop("quality_ok")
     heavy = recover_and_regroup(passed, salt=True).mapInPandas(
-        _finalize_batches, RESULT_SCHEMA)
+        _finalize_batches(forced_type), RESULT_SCHEMA)
     return light.unionByName(heavy).unionByName(rejected)
 
 
