@@ -5,12 +5,16 @@ Spark and DuckDB, which makes MinHash / SimHash / fingerprint operators
 oracle-checkable: the DuckDB SQL in __spark_entry__.oracle_sql() uses the
 same constructions.
 
-* MinHash family: h_j(x) = md5(j || ':' || x) compared lexicographically —
-  a valid min-wise hash family (each salt j induces an independent
-  pseudo-random order over shingles); signature_j = min_x h_j(x).
-* SimHash: per-token 60-bit integer from the first 15 hex chars of md5
-  (Spark: conv(...,16,10); DuckDB: ('0x'||...)::UBIGINT), bit votes summed
-  per position.
+* MinHash family (Broder, "On the resemblance and containment of
+  documents", SEQUENCES 1997): h_j(x) = md5(j || ':' || x) compared
+  lexicographically — a valid min-wise hash family (each salt j induces an
+  independent pseudo-random order over shingles); signature_j = min_x
+  h_j(x); banding per Leskovec/Rajaraman/Ullman, Mining of Massive
+  Datasets ch. 3.
+* SimHash (Charikar, "Similarity estimation techniques from rounding
+  algorithms", STOC 2002): per-token 60-bit integer from the first 15 hex
+  chars of md5 (Spark: conv(...,16,10); DuckDB: ('0x'||...)::UBIGINT),
+  bit votes summed per position.
 
 At 100 TB these run as pure column expressions inside whole-stage codegen —
 no Python, no UDF, shuffle only at the final groupBy(doc_id).
