@@ -105,6 +105,23 @@ def sessionize_stream(events: DataFrame,
                 "append", GroupStateTimeout.EventTimeTimeout))
 
 
+def windowed_event_stats(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    queries.q26_hourly_event_stats.  Late events inside the watermark
+    update their window; beyond it, state is dropped (bounded memory at
+    10^12-event scale).  Append mode emits a window only once it is
+    final."""
+    from pyspark.sql import functions as F
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "n", "total_value"))
+
+
 def extract_stream(spark, docs_path: str, lake_root: str, n_buckets: int,
                    checkpoint_dir: str, schema=None):
     """Continuous extraction over a docs directory: each micro-batch runs

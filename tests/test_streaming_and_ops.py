@@ -67,6 +67,64 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     }
 
 
+def test_windowed_stats_with_late_data(spark, tmp_path):
+    """Watermarked tumbling windows: a late event INSIDE the watermark
+    lands in its (earlier) window; windows finalize only after the
+    watermark passes them (append mode)."""
+    src = str(tmp_path / "wevents")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+                        ("event_type", pa.string()), ("value", pa.float64())])
+
+    def wf(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(src, name))
+
+    wf("f1.parquet", [
+        {"ts": _mins(10), "user_id": 1, "event_type": "click", "value": 1.0},
+        {"ts": _mins(20), "user_id": 2, "event_type": "click", "value": 2.0},
+    ])
+    # f2 advances event time far ahead AND delivers a LATE click for the
+    # first hour window (inside the 2h watermark -> must still count)
+    wf("f2.parquet", [
+        {"ts": _mins(300), "user_id": 3, "event_type": "view", "value": 9.0},
+        {"ts": _mins(40), "user_id": 4, "event_type": "click", "value": 4.0},
+    ])
+    wf("f3.parquet", [  # push watermark past hour-0's finalization point
+        {"ts": _mins(600), "user_id": 5, "event_type": "view", "value": 1.0},
+    ])
+
+    from ocr_documents_spark.streaming.sessionize import windowed_event_stats
+    events = (spark.readStream
+              .schema("ts timestamp, user_id long, event_type string, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (windowed_event_stats(events, window="1 hour", watermark="2 hours")
+         .writeStream.format("memory").queryName("winstats")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM winstats").collect()}
+    # hour-0 clicks: 2 on-time + 1 late-but-inside-watermark = 3 events
+    assert rows[(T0, "click")] == (3, 7.0)
+    # hour-5 view finalized once the 600-min event moved the watermark
+    import datetime
+    assert rows[(T0 + datetime.timedelta(hours=5), "view")] == (1, 9.0)
+
+
+def test_lake_status_summary(spark, small_lake):
+    from ocr_documents_spark.jobs.status import summarize
+    s = summarize(spark, small_lake.root, small_lake.n_buckets)
+    assert s["buckets_completed"] == small_lake.n_buckets
+    assert s["buckets_pending"] == 0
+    assert s["docs"] == (s["completed"] + s["partial"]
+                         + s["rejected_quality"] + s["rejected_classification"])
+    assert s["docs"] > 0
+
+
 def test_extract_stream_matches_batch(spark, tmp_path):
     docs_path = str(tmp_path / "docs")
     write_docs_parquet(docs_path, 30, docs_per_file=10)
