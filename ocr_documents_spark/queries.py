@@ -361,7 +361,7 @@ def q21_knn_bruteforce(spark, sf_dir):
     # broadcast the (tiny) query set; the big candidate side never moves —
     # plan shows BroadcastNestedLoopJoin, not a shuffle
     scored = (c.crossJoin(F.broadcast(q))
-              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4) + F.lit(0.0)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
@@ -379,7 +379,7 @@ def q22_ann_signbucket(spark, sf_dir):
     c = withb.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
     scored = (q.join(c, "bucket")
-              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4) + F.lit(0.0)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
@@ -391,7 +391,9 @@ def q23_label_centroids(spark, sf_dir):
     return (emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
             .withColumn("dim", F.col("dim0") + 1)
             .groupBy("label", "dim")
-            .agg(F.round(F.avg("x"), 4).alias("centroid"),
+            # + 0.0 normalizes IEEE signed zero: a tiny negative mean rounds
+            # to -0.0 in one engine and +0.0 in the other, flipping hashes
+            .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("centroid"),
                  F.count(F.lit(1)).alias("n_vectors")))
 
 
@@ -405,7 +407,7 @@ def q24_embedding_neardup(spark, sf_dir):
                    F.col("label").alias("label_b"))
     return (a.join(b, (F.col("label") == F.col("label_b"))
                    & (F.col("a_id") < F.col("b_id")))
-            .withColumn("cos", F.round(cosine(F.col("av"), F.col("bv")), 4))
+            .withColumn("cos", F.round(cosine(F.col("av"), F.col("bv")), 4) + F.lit(0.0))
             .filter(F.col("cos") >= 0.95)
             .select("a_id", "b_id", "label", "cos"))
 
@@ -561,7 +563,7 @@ def q34_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
         F.col("label").alias("clabel"))
     scored = (assign.join(c, assign.cell == c.clabel)
-              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4) + F.lit(0.0)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
@@ -762,7 +764,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT query_id, neighbor_id,
                    round(list_dot_product(qv, cv)
                          / (sqrt(list_dot_product(qv, qv))
-                            * sqrt(list_dot_product(cv, cv))), 4) AS cos
+                            * sqrt(list_dot_product(cv, cv))), 4) + 0.0 AS cos
             FROM q CROSS JOIN c
         )
         SELECT query_id, neighbor_id, cos, rank FROM (
@@ -785,7 +787,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT query_id, q.bucket AS bucket, neighbor_id,
                    round(list_dot_product(qv, cv)
                          / (sqrt(list_dot_product(qv, qv))
-                            * sqrt(list_dot_product(cv, cv))), 4) AS cos
+                            * sqrt(list_dot_product(cv, cv))), 4) + 0.0 AS cos
             FROM q JOIN c ON q.bucket = c.bucket
         )
         SELECT query_id, bucket, neighbor_id, cos, rank FROM (
@@ -794,7 +796,8 @@ ORACLE_SQL: dict[str, str] = {
             FROM scored) WHERE rank <= 3
     """,
     "q23_label_centroids": """
-        SELECT label, dim, round(avg(x), 4) AS centroid, count(*) AS n_vectors
+        SELECT label, dim, round(avg(x), 4) + 0.0 AS centroid,
+               count(*) AS n_vectors
         FROM (SELECT label, unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) AS dim
               FROM embeddings)
@@ -804,7 +807,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
                round(list_dot_product(a.embedding, b.embedding)
                      / (sqrt(list_dot_product(a.embedding, a.embedding))
-                        * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
+                        * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                   + 0.0 AS cos
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.embedding, b.embedding)
@@ -907,7 +911,7 @@ ORACLE_SQL: dict[str, str] = {
                  round(list_dot_product(a.qv, e.embedding)
                        / (sqrt(list_dot_product(a.qv, a.qv))
                           * sqrt(list_dot_product(e.embedding, e.embedding))),
-                       4) AS cos
+                       4) + 0.0 AS cos
           FROM assign a JOIN embeddings e ON e.label = a.cell
           WHERE e.vec_id >= 5
         )
