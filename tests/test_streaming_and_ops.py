@@ -51,7 +51,7 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), 'stream did not finish'
 
     rows = spark.sql("SELECT * FROM sessions").collect()
     closed = {(r["user_id"], r["n_events"], r["total_value"],
@@ -105,7 +105,7 @@ def test_windowed_stats_with_late_data(spark, tmp_path):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "wck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), 'stream did not finish'
     rows = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
             for r in spark.sql("SELECT * FROM winstats").collect()}
     # hour-0 clicks: 2 on-time + 1 late-but-inside-watermark = 3 events
@@ -134,7 +134,7 @@ def test_extract_stream_matches_batch(spark, tmp_path):
     q = (extract_stream(spark, docs_path, lake_root, n_buckets=4,
                         checkpoint_dir=str(tmp_path / "ckpt2"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), 'stream did not finish'
 
     results = spark.read.parquet(os.path.join(lake_root, L.RESULTS))
     assert results.count() == 30
