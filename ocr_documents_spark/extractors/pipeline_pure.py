@@ -158,15 +158,21 @@ def document_quality_ok(spans: Sequence[Any],
     if skip_quality_check:
         return True
     first_ref = None
-    first_off = None
+    first_key = None
     for s in spans:
         kind = s["kind"] if isinstance(s, dict) else s.kind
         if kind != "media":
             continue
         off = s["offset"] if isinstance(s, dict) else s.offset
-        if first_off is None or off < first_off:
-            first_off, first_ref = off, (
-                s["media_ref"] if isinstance(s, dict) else s.media_ref)
+        ref = s["media_ref"] if isinstance(s, dict) else s.media_ref
+        # tie-break duplicate offsets by (offset, media_ref) nulls-first,
+        # EXACTLY like the Spark gate's sort_array over struct(offset,
+        # media_ref) — ingest rejects duplicate offsets, but direct
+        # run_pipeline/extract_stream callers can skip ingest, and the two
+        # gates must agree on such docs (ADVICE r1)
+        key = (off, 0 if ref is None else 1, ref or "")
+        if first_key is None or key < first_key:
+            first_key, first_ref = key, ref
     if first_ref is None:
         return True  # born-digital document: nothing to gate on
     _text, _conf, qc = decode_media_ref(first_ref)

@@ -137,33 +137,71 @@ def apply_field_corrections(spark: SparkSession, lake: Lake,
     buckets containing corrected documents are rewritten (dynamic partition
     overwrite), everything else is untouched — same touched-partition cost
     profile as Iceberg's copy-on-write MERGE.
+
+    MERGE semantics (like SQL MERGE, where duplicate source keys are an
+    error): corrections are deduplicated per (doc_id, field_name) —
+    ``max(new_value)`` keeps the deterministic non-null winner — so a
+    duplicated source row can never fan out extra fields_long rows, and an
+    explicit NULL ``new_value`` CLEARS the field (match flag, not
+    coalesce).
     """
     corr = (corrections
+            .groupBy("doc_id", "field_name")
+            .agg(F.max("new_value").alias("__new"))
             .withColumn("bucket", lake.bucket_col())
-            .withColumnRenamed("new_value", "__new"))
+            .withColumn("__matched", F.lit(True)))
     buckets = [r["bucket"] for r in corr.select("bucket").distinct().collect()]
     if not buckets:
         return 0
     fl = spark.read.parquet(lake.path(FIELDS_LONG))
     updated = (fl.filter(F.col("bucket").isin(buckets))
-               .join(F.broadcast(corr.select("doc_id", "field_name", "__new")),
+               .join(F.broadcast(corr.select("doc_id", "field_name",
+                                             "__new", "__matched")),
                      ["doc_id", "field_name"], "left")
-               .withColumn("field_value", F.coalesce("__new", "field_value"))
-               .drop("__new"))
+               .withColumn("field_value",
+                           F.when(F.col("__matched").isNotNull(),
+                                  F.col("__new"))
+                           .otherwise(F.col("field_value")))
+               .drop("__new", "__matched"))
     write_bucketed(updated, lake, FIELDS_LONG)
     return len(buckets)
+
+
+def doc_bucket(spark: SparkSession, lake: Lake, doc_id: str) -> int:
+    """The bucket a doc_id hashes to, computed WITHOUT scanning any table
+    (one-row local relation through the same xxhash64 expression)."""
+    return spark.createDataFrame([(doc_id,)], "doc_id string").select(
+        lake.bucket_col().alias("b")).first()["b"]
+
+
+def _delete_partition_dir(spark: SparkSession, path: str) -> None:
+    """Drop a partition directory via the Hadoop FileSystem API (works on
+    any FS the cluster mounts, not just local disk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def delete_document(spark: SparkSession, lake: Lake, doc_id: str) -> None:
     """S8 delete + cascade (backend/main_v1.py:328-346): row-level delete
     via rewrite of the single bucket holding the doc (Iceberg path:
-    ``DELETE FROM lake.results WHERE doc_id = …``)."""
+    ``DELETE FROM lake.results WHERE doc_id = …``).
+
+    The bucket is COMPUTED from the doc_id (pmod(xxhash64(doc_id), n)) so
+    the scan partition-prunes to that one directory instead of reading the
+    full table to discover where the doc lives.
+    """
+    b = doc_bucket(spark, lake, doc_id)
     for table in (RESULTS, FIELDS_LONG):
-        df = spark.read.parquet(lake.path(table))
+        df = spark.read.parquet(lake.path(table)).filter(F.col("bucket") == b)
         kept = df.filter(F.col("doc_id") != doc_id)
-        bucket = df.filter(F.col("doc_id") == doc_id)
-        write_bucketed(kept.join(bucket.select("bucket").distinct(),
-                                 "bucket", "left_semi"), lake, table)
+        if kept.isEmpty():
+            # dynamic overwrite only replaces partitions PRESENT in the new
+            # data; an emptied bucket must be dropped explicitly
+            _delete_partition_dir(spark, f"{lake.path(table)}/bucket={b}")
+        else:
+            write_bucketed(kept, lake, table)
 
 
 def export_results_csv(results: DataFrame, path: str) -> None:

@@ -54,6 +54,19 @@ def _sessionize_group(key, pdfs: Iterable[pd.DataFrame],
 
     Timeout closes a session when the watermark passes last_ts + gap, so
     late events inside the watermark still extend their session.
+
+    Late-event merge rule: state stores the open session as an INTERVAL
+    [start_ts, last_ts].  An in-watermark event that does not open a gap
+    beyond last_ts merges into the interval with start = min, last = max —
+    a late event older than the stored last_ts can therefore extend the
+    session downward but can never regress last_ts (which would let a
+    later on-time event spuriously split the session, or emit a session
+    with end < start).  This matches the batch twin q25 for every late
+    event within `gap` of the open interval; an event older than
+    start_ts − gap is conservatively merged into the same session (the
+    batch query would have assigned it its own earlier session — at that
+    point the event is near the watermark boundary and the alternative is
+    buffering every raw event in state, unbounded at 10^12-event scale).
     """
     (user_id,) = key
     if state.hasTimedOut:
@@ -79,8 +92,11 @@ def _sessionize_group(key, pdfs: Iterable[pd.DataFrame],
     for t, v in zip(ts, vals):
         if n > 0 and t - last_ts > SESSION_GAP_S:
             closed.append((start_ts, last_ts, n, total))
-            start_ts, n, total = float(t), 0, 0.0
-        last_ts = float(t)
+            start_ts, last_ts, n, total = float(t), float(t), 0, 0.0
+        else:
+            # merge (possibly late) event into the open interval
+            start_ts = min(start_ts, float(t))
+            last_ts = max(last_ts, float(t))
         n += 1
         total += float(v)
 

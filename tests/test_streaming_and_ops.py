@@ -67,6 +67,52 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     }
 
 
+def test_sessionize_stream_late_event_merges(spark, tmp_path):
+    """A late-but-inside-watermark event OLDER than the stored last_ts must
+    merge into the open session (start extends downward, last_ts does NOT
+    regress) — the r1 defect spuriously split the session and could emit
+    session_end < session_start."""
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+                        ("value", pa.float64())])
+
+    def wf(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(src, name))
+
+    wf("f1.parquet", [
+        {"ts": _mins(60), "user_id": 1, "value": 1.0},
+        {"ts": _mins(65), "user_id": 1, "value": 2.0},
+    ])
+    # late event (min 40 < stored last_ts 65, inside the 2h watermark) plus
+    # an on-time event 20 min after the TRUE last_ts — same session
+    wf("f2.parquet", [
+        {"ts": _mins(40), "user_id": 1, "value": 4.0},
+        {"ts": _mins(85), "user_id": 1, "value": 8.0},
+    ])
+    wf("f3.parquet", [  # >30-min gap closes the merged session
+        {"ts": _mins(300), "user_id": 1, "value": 16.0},
+    ])
+
+    from ocr_documents_spark.streaming.sessionize import sessionize_stream
+    events = (spark.readStream
+              .schema("ts timestamp, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(events, watermark="2 hours")
+         .writeStream.format("memory").queryName("late_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "lck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(600), 'stream did not finish'
+    rows = spark.sql("SELECT * FROM late_sessions").collect()
+    closed = {(r["user_id"], r["n_events"], r["total_value"],
+               r["session_start"], r["session_end"]) for r in rows}
+    assert closed == {(1, 4, 15.0, _mins(40), _mins(85))}
+
+
 def test_windowed_stats_with_late_data(spark, tmp_path):
     """Watermarked tumbling windows: a late event INSIDE the watermark
     lands in its (earlier) window; windows finalize only after the
@@ -170,6 +216,51 @@ def test_field_correction_merge(spark, small_lake):
         (after.doc_id == victim["doc_id"])
         & (after.field_name == victim["field_name"])).collect()
     assert [r["field_value"] for r in updated] == ["CORRECTED_VALUE"]
+
+
+def test_field_correction_null_clears_and_duplicates_collapse(spark, small_lake):
+    """MERGE semantics: an explicit NULL new_value CLEARS the field, and a
+    duplicated correction row must not fan out extra fields_long rows."""
+    fl = spark.read.parquet(small_lake.path(L.FIELDS_LONG))
+    victims = fl.filter(fl.field_value.isNotNull()).take(3)
+    clear_v, dup_v = victims[1], victims[2]
+    corrections = spark.createDataFrame(
+        [(clear_v["doc_id"], clear_v["field_name"], None),
+         (dup_v["doc_id"], dup_v["field_name"], "DUP_A"),
+         (dup_v["doc_id"], dup_v["field_name"], "DUP_B")],
+        "doc_id string, field_name string, new_value string")
+    n_before = fl.count()
+    L.apply_field_corrections(spark, small_lake, corrections)
+
+    after = spark.read.parquet(small_lake.path(L.FIELDS_LONG))
+    assert after.count() == n_before  # no fan-out from the duplicate rows
+    cleared = after.filter((after.doc_id == clear_v["doc_id"])
+                           & (after.field_name == clear_v["field_name"])).collect()
+    assert [r["field_value"] for r in cleared] == [None]
+    duped = after.filter((after.doc_id == dup_v["doc_id"])
+                         & (after.field_name == dup_v["field_name"])).collect()
+    assert [r["field_value"] for r in duped] == ["DUP_B"]  # max() winner
+
+
+def test_delete_sole_document_in_bucket(spark, tmp_path):
+    """Deleting the only doc in a bucket must drop the partition (dynamic
+    overwrite can't replace a partition with zero rows)."""
+    corpus = str(tmp_path / "c3")
+    write_docs_parquet(corpus, 6, docs_per_file=6)
+    root = str(tmp_path / "lake3")
+    job.run(spark, corpus, root, 16, claimed=list(range(16)))
+    lake = L.Lake(root, 16)
+    results = spark.read.parquet(lake.path(L.RESULTS))
+    singles = (results.groupBy("bucket").count()
+               .filter("count = 1").select("bucket").collect())
+    assert singles, "expected at least one single-doc bucket with 6 docs/16 buckets"
+    b = singles[0]["bucket"]
+    victim = results.filter(results.bucket == b).first()["doc_id"]
+    assert L.doc_bucket(spark, lake, victim) == b
+    L.delete_document(spark, lake, victim)
+    after = spark.read.parquet(lake.path(L.RESULTS))
+    assert after.filter(f"doc_id = '{victim}'").count() == 0
+    assert after.count() == 5  # other buckets untouched
 
 
 def test_delete_document_cascades(spark, small_lake):
