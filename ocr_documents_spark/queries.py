@@ -9,7 +9,8 @@ explicitly so cross-engine summation order cannot flip the hash.
 Categories covered: scan/filter/project (pushdown), top-k, point lookup,
 window (first-match-wins analogue of backend/ocr_service.py:1618-1625),
 broadcast join, anti join, explode/unnest, regex extraction, date
-functions, ordered dedup, exact/MinHash/SimHash/Jaccard dedup, similarity
+functions, ordered dedup, exact/MinHash/SimHash/Jaccard dedup plus the
+end-to-end dedup-group assignment (operators/dedup.py), similarity
 search (brute-force + LSH-bucketed), embedding centroids, text analytics
 (quality score, language ID, token counts, fingerprints), sessionization,
 tumbling windows, set ops (intersect/exceptAll), reference date
@@ -28,6 +29,7 @@ from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select,
                                 md5_int60, simhash_bit_votes,
                                 simhash_from_votes)
 from .functions.vectors import cosine, sign_bucket
+from .operators import dedup as D
 
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
@@ -166,77 +168,24 @@ def _words_col():
     return F.filter(F.split("text", " "), lambda x: x != "")
 
 
-def _ngrams_over(words, n: int):
-    """Word n-grams via higher-order array functions — entirely JVM-side,
-    ZERO shuffle (the explode+window formulation shuffles every token by
-    doc_id; at 100 TB that shuffle dwarfs the actual hashing).
-
-    ``words`` MUST be a materialized column reference, not an inline
-    expression: element_at inside the transform lambda would otherwise
-    re-evaluate the split per gram element — O(n²) per document.
-    """
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j + 1) for j in range(n)])
-    return F.when(F.size(words) >= n, F.transform(idx, gram)) \
-            .otherwise(F.array().cast("array<string>"))
-
-
-def _shingles3(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _words_col().alias("words"))
-    return docs.select(
-        "doc_id", F.explode(_ngrams_over(F.col("words"), 3)).alias("shingle"))
-
-
 def q13_minhash_signatures(spark, sf_dir):
-    """MinHash over word 3-gram shingles, 4 salted md5 hash functions,
-    banded 2x2 for LSH (shingle -> minhash -> band).
+    """Parametrized MinHash over word 3-gram shingles: 16 salted md5 hash
+    functions banded 4x4 (candidate threshold ~0.71 per the MMDS S-curve;
+    a production 128-hash run passes different parameters through the same
+    operator, operators/dedup.py).
 
     Entirely per-row: shingling, hashing, and the min all happen inside
-    array expressions (array_min == the groupBy-min over exploded shingles,
-    both lexicographic) — the signature stage has ZERO shuffle, so at
-    100 TB it runs at scan speed."""
-    # pre-balance the docs before the CPU-heavy per-row hashing: one narrow
-    # shuffle of (doc_id, words) — still strictly less data motion than
-    # exploding every token, and immune to unsplittable source files.  The
-    # Exchange doubles as a materialization barrier: Project-collapse would
-    # otherwise inline the words expression into every element_at of the
-    # n-gram builder (O(n^2) re-splits per document).
-    # the non-empty check rides the cheap words column: a size(shingles)>0
-    # filter would be pushed below the exchange and re-inline the whole
-    # n-gram construction against raw text just to test emptiness
-    docs = (_t(spark, sf_dir, "documents")
-            .select("doc_id", _words_col().alias("words"))
-            .filter(F.size("words") >= 3)
-            .repartition("doc_id")
-            .select("doc_id", _ngrams_over(F.col("words"), 3).alias("shingles")))
-    def salted(j):
-        # NB: a `lambda s, j=j` would be read by pyspark as the TWO-ARG
-        # (element, index) transform signature — closure factory instead
-        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
-
-    sig = docs.select(
-        "doc_id",
-        *[F.array_min(F.transform("shingles", salted(j))).alias(f"h{j}")
-          for j in range(4)])
-    return sig.select(
-        "doc_id", "h0", "h1", "h2", "h3",
-        F.md5(F.concat("h0", "h1")).alias("band0"),
-        F.md5(F.concat("h2", "h3")).alias("band1"))
+    array expressions — the signature stage has ZERO shuffle and runs at
+    scan speed at 100 TB."""
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
 def q14_lsh_candidate_pairs(spark, sf_dir):
-    """Bucket-join on band keys: candidates = docs sharing any band."""
-    sig = q13_minhash_signatures(spark, sf_dir)
-    bands = (sig.select("doc_id", F.col("band0").alias("band"))
-             .unionAll(sig.select("doc_id", F.col("band1").alias("band"))))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("a_doc_id"),
-                    F.col("b.doc_id").alias("b_doc_id"))
-            .distinct())
+    """Bucket-join on band keys: candidates = docs sharing any band (the
+    band index rides the key so band-k of one doc never collides with
+    band-j of another)."""
+    return D.candidate_pairs(
+        D.minhash_signatures(_t(spark, sf_dir, "documents")))
 
 
 def q15_simhash(spark, sf_dir):
@@ -266,30 +215,21 @@ def q15_simhash(spark, sf_dir):
         .alias("simhash"))
 
 
-def q16_bigram_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup: same-source pairs over distinct bigrams."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", _words_col().alias("words"))
-    bigrams = (docs.select(
-        "doc_id", "source",
-        F.explode(F.array_distinct(
-            _ngrams_over(F.col("words"), 2))).alias("bigram")))
-    sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = bigrams.alias("a"), bigrams.alias("b")
-    inter = (a.join(b, (F.col("a.bigram") == F.col("b.bigram"))
-                    & (F.col("a.source") == F.col("b.source"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("a_doc_id"),
-                      F.col("b.doc_id").alias("b_doc_id"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("a_doc_id"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("b_doc_id"), F.col("sz").alias("sb"))
-    return (inter.join(sa, "a_doc_id").join(sb, "b_doc_id")
-            .withColumn("jaccard",
-                        F.round(F.col("inter")
-                                / (F.col("sa") + F.col("sb") - F.col("inter")), 4))
-            .filter(F.col("jaccard") >= 0.2)
-            .select("a_doc_id", "b_doc_id", "jaccard"))
+def q16_jaccard_verify_candidates(spark, sf_dir):
+    """TRUE n-gram Jaccard computed on the LSH candidate pairs ONLY — the
+    verification stage of the dedup pipeline.  Replaces the r1 formulation
+    that joined on every distinct n-gram (a stop-word-grade n-gram makes
+    that key quadratic at 100 TB); here the only join keys are the band
+    (candidate generation) and the candidate doc ids themselves."""
+    return D.verified_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q35_dedup_groups(spark, sf_dir):
+    """End-to-end near-dup dedup deliverable: MinHash -> LSH candidates ->
+    Jaccard verification -> connected components (min-label propagation on
+    the edge set) -> one row per document with its group id, group size,
+    and the keep/drop decision (is_canonical)."""
+    return D.dedup_groups(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -663,28 +603,13 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS canonical_doc_id, sum(n_chars)::BIGINT AS total_chars
         FROM documents GROUP BY 1
     """,
-    "q13_minhash_signatures": """
-        WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
-                       AS shingle
-            FROM toks WHERE word <> ''
-            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ), sig AS (
-            SELECT doc_id,
-                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3
-            FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id
-        )
-        SELECT doc_id, h0, h1, h2, h3,
-               md5(h0 || h1) AS band0, md5(h2 || h3) AS band1
+    "q13_minhash_signatures": (lambda _h=D.duckdb_signature_select(): f"""
+        WITH {D.duckdb_shingle_cte()},
+        sig AS (SELECT doc_id, {_h[0]} FROM shd GROUP BY doc_id)
+        SELECT doc_id, {', '.join(f'h{j}' for j in range(D.N_HASHES))},
+               {_h[1]}
         FROM sig
-    """,
+    """)(),
     "q15_simhash": f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -694,33 +619,11 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, ({_SIMHASH_FOLD})::BIGINT AS simhash FROM votes
     """,
-    "q16_bigram_jaccard_pairs": """
-        WITH toks AS (
-            SELECT doc_id, source,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
-        ), bigrams AS (
-            SELECT DISTINCT doc_id, source,
-                   word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS bigram
-            FROM toks WHERE word <> ''
-        ), bg AS (SELECT * FROM bigrams WHERE bigram IS NOT NULL),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS inter
-            FROM bg a JOIN bg b
-              ON a.bigram = b.bigram AND a.source = b.source
-             AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT a_doc_id, b_doc_id,
-               round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = a_doc_id
-        JOIN sizes sb ON sb.doc_id = b_doc_id
-        WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+    "q16_jaccard_verify_candidates": f"""
+        WITH {D.duckdb_verified_cte()}
+        SELECT a_doc_id, b_doc_id, jaccard FROM verified
     """,
+    "q35_dedup_groups": D.duckdb_dedup_groups_sql(),
     "q17_text_quality": """
         SELECT doc_id,
                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
@@ -829,32 +732,10 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
     """,
-    # q14 lsh pairs: derived entirely from q13's signature table
-    "q14_lsh_candidate_pairs": """
-        WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
-                       AS shingle
-            FROM toks WHERE word <> ''
-            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ), sig AS (
-            SELECT doc_id,
-                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3
-            FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id
-        ), bands AS (
-            SELECT doc_id, md5(h0 || h1) AS band FROM sig
-            UNION ALL
-            SELECT doc_id, md5(h2 || h3) AS band FROM sig
-        )
-        SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.doc_id < b.doc_id
+    # q14 lsh pairs: derived entirely from the shared candidate CTE chain
+    "q14_lsh_candidate_pairs": f"""
+        WITH {D.duckdb_candidates_cte()}
+        SELECT a_doc_id, b_doc_id FROM cand
     """,
     "q29_set_ops": """
         SELECT custkey, segment FROM (
@@ -942,7 +823,7 @@ QUERIES = {
     "q13_minhash_signatures": q13_minhash_signatures,
     "q14_lsh_candidate_pairs": q14_lsh_candidate_pairs,
     "q15_simhash": q15_simhash,
-    "q16_bigram_jaccard_pairs": q16_bigram_jaccard_pairs,
+    "q16_jaccard_verify_candidates": q16_jaccard_verify_candidates,
     "q17_text_quality": q17_text_quality,
     "q18_lang_id": q18_lang_id,
     "q19_token_count_by_source": q19_token_count_by_source,
@@ -961,4 +842,5 @@ QUERIES = {
     "q32_media_features": q32_media_features,
     "q33_approx_distinct": q33_approx_distinct,
     "q34_ann_ivf": q34_ann_ivf,
+    "q35_dedup_groups": q35_dedup_groups,
 }

@@ -1,0 +1,91 @@
+"""End-to-end near-dup dedup operator (operators/dedup.py): banding math,
+connected components, group assignment, and the no-all-pairs plan shape."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_documents_spark.operators import dedup as D
+
+BASE = ("the quarterly compliance audit report covering warehouse "
+        "operations inventory reconciliation and supplier contract "
+        "renewals was submitted to the regional office for final "
+        "review and approval by the board")
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Engineered clusters: {0,1,2} (exact dup + one-word edit chain),
+    {3,4} (exact dup), 5..7 singletons with unrelated text."""
+    v1 = BASE
+    v2 = BASE  # exact duplicate of 0
+    v3 = BASE.replace("quarterly", "annual")  # near-dup (3 shingles differ)
+    w1 = ("shipment manifests for the coastal distribution hub listed "
+          "fourteen pallets of industrial fasteners awaiting customs "
+          "clearance at the bonded storage facility near the port")
+    w2 = w1  # exact duplicate of 3
+    others = [
+        "crimson foxes darted across the frozen ridge at dawn",
+        "the observatory logged seventeen meteor events last night",
+        "fresh sourdough requires patience a lively starter and steam",
+    ]
+    return _docs(spark, [v1, v2, v3, w1, w2] + others)
+
+
+def test_connected_components_chain(spark):
+    """a-b, b-c chain collapses to one component; disjoint pair separate."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_doc_id long, b_doc_id long")
+    got = {r["doc_id"]: r["component"]
+           for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_candidates_catch_neardups_only(corpus):
+    pairs = {(r["a_doc_id"], r["b_doc_id"])
+             for r in D.candidate_pairs(
+                 D.minhash_signatures(corpus)).collect()}
+    assert (0, 1) in pairs          # exact dup: every band collides
+    assert (3, 4) in pairs
+    assert (1, 2) in pairs or (0, 2) in pairs  # near-dup chain edge
+    # unrelated docs never become candidates
+    assert not any(a >= 5 or b >= 5 for a, b in pairs)
+
+
+def test_verified_pairs_jaccard_values(corpus):
+    rows = {(r["a_doc_id"], r["b_doc_id"]): r["jaccard"]
+            for r in D.verified_pairs(corpus).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert rows[(3, 4)] == 1.0
+    chain = [j for (a, b), j in rows.items() if 2 in (a, b)]
+    assert chain and all(0.7 <= j < 1.0 for j in chain)
+
+
+def test_dedup_groups_end_to_end(corpus):
+    got = {r["doc_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in D.dedup_groups(corpus).collect()}
+    assert got[0] == (0, 3, True)
+    assert got[1] == (0, 3, False)
+    assert got[2] == (0, 3, False)   # transitively grouped via doc 0/1
+    assert got[3] == (3, 2, True)
+    assert got[4] == (3, 2, False)
+    for d in (5, 6, 7):
+        assert got[d] == (d, 1, True)
+
+
+def test_candidate_plan_joins_on_band_not_ngrams(corpus):
+    """The r1 anti-pattern joined on raw n-grams (hot-token quadratic key).
+    Candidate generation must never materialize exploded shingles."""
+    plan = D.candidate_pairs(D.minhash_signatures(corpus)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "band" in plan
+    assert "Generate explode" not in plan  # no shingle explode anywhere
+
+
+def test_banding_parameters_validate():
+    with pytest.raises(AssertionError):
+        D.minhash_signatures(None, n_hashes=10, bands=4)
