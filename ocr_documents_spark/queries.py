@@ -28,8 +28,21 @@ from pyspark.sql import functions as F
 from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select,
                                 md5_int60, simhash_bit_votes,
                                 simhash_from_votes)
-from .functions.vectors import cosine, sign_bucket
+from .functions.vectors import cosine, seeded_sign_bands, sign_bucket_dims
 from .operators import dedup as D
+
+# q22: seeded-random axis-hyperplane LSH, configurable bit width (3 bits ->
+# 8 buckets; widen for a bigger corpus by raising dims_per_band)
+Q22_DIMS = seeded_sign_bands(n_bands=1, dims_per_band=3, seed=11)[0]
+
+# q24: near-dup LSH bands (OR-amplified: 2 bands x 4 sign bits) + the
+# engineered near-duplicate vectors that make the oracle row non-trivial —
+# the raw corpus has no cos>=0.95 pair (max 0.51), so a dedup query proving
+# anything must union deterministic derived copies: vec_id < 15 re-emitted
+# at +100000 with embedding' = 0.99*x + 0.003 (cos ~ 0.9997 to its source)
+NEARDUP_BANDS = seeded_sign_bands(n_bands=2, dims_per_band=4, seed=42)
+NEARDUP_N, NEARDUP_OFFSET = 15, 100000
+NEARDUP_SCALE, NEARDUP_SHIFT = 0.99, 0.003
 
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
@@ -309,11 +322,14 @@ def q21_knn_bruteforce(spark, sf_dir):
 
 
 def q22_ann_signbucket(spark, sf_dir):
-    """LSH-bucketed ANN: deterministic sign-pattern bucket on the first 3
-    dims prunes candidates before scoring (the 100 TB scale path: bucket is
-    the shuffle key; each bucket scans ~1/8 of candidates)."""
+    """LSH-bucketed ANN: seeded-random axis-hyperplane sign bucket (3 bits
+    here, width-configurable) prunes candidates before scoring — the
+    100 TB scale path: bucket is the shuffle key; each bucket scans ~1/8
+    of candidates.  Axis planes keep the bucket oracle-exact; the general
+    Gaussian-plane family is functions/vectors.hyperplane_bits."""
     emb = _emb(spark, sf_dir)
-    withb = emb.withColumn("bucket", sign_bucket(F.col("embedding")))
+    withb = emb.withColumn("bucket",
+                           sign_bucket_dims(F.col("embedding"), Q22_DIMS))
     q = withb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket")
     c = withb.filter(F.col("vec_id") >= 5).select(
@@ -338,16 +354,43 @@ def q23_label_centroids(spark, sf_dir):
 
 
 def q24_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup within label partitions (blocked join)."""
+    """Embedding-cosine near-dup via banded sign-LSH bucketing (NOT the r1
+    within-label all-pairs join, which goes quadratic on any popular
+    label).  The bucket (band_idx, sign bits) is the only join key, so a
+    pair is scored iff all bits of some band agree; exact cosine then
+    verifies candidates.  Engineered near-dup vectors (see NEARDUP_*) make
+    the >=0.95 result provably non-empty."""
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("a_id"),
-                   F.col("embedding").alias("av"), "label")
-    b = emb.select(F.col("vec_id").alias("b_id"),
-                   F.col("embedding").alias("bv"),
-                   F.col("label").alias("label_b"))
-    return (a.join(b, (F.col("label") == F.col("label_b"))
-                   & (F.col("a_id") < F.col("b_id")))
-            .withColumn("cos", F.round(cosine(F.col("av"), F.col("bv")), 4) + F.lit(0.0))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label")
+    eng = emb.filter(F.col("vec_id") < NEARDUP_N).select(
+        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") * NEARDUP_SCALE + NEARDUP_SHIFT)
+        .alias("embedding"),
+        "label")
+    uni = base.unionByName(eng)
+
+    bk = None
+    for k, dims in enumerate(NEARDUP_BANDS):
+        part = uni.select("vec_id", F.lit(k).alias("band_idx"),
+                          sign_bucket_dims(F.col("embedding"), dims)
+                          .alias("bucket"))
+        bk = part if bk is None else bk.unionAll(part)
+    a = bk.select(F.col("vec_id").alias("a_id"), "band_idx", "bucket")
+    b = bk.select(F.col("vec_id").alias("b_id"), "band_idx", "bucket")
+    cand = (a.join(b, ["band_idx", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+    av = uni.select(F.col("vec_id").alias("a_id"),
+                    F.col("embedding").alias("av"), "label")
+    bv = uni.select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("bv"))
+    return (cand.join(av, "a_id").join(bv, "b_id")
+            .withColumn("cos", F.round(cosine(F.col("av"), F.col("bv")), 4)
+                        + F.lit(0.0))
             .filter(F.col("cos") >= 0.95)
             .select("a_id", "b_id", "label", "cos"))
 
@@ -532,6 +575,19 @@ _STOPWORD_HITS = " + ".join(
     f"(case when (' ' || text || ' ') like '% {sw} %' then 1 else 0 end)"
     for sw in STOPWORDS)
 
+
+def _duck_signbits(dims: list[int]) -> str:
+    """DuckDB twin of vectors.sign_bucket_dims (1-based list indexing)."""
+    return " || ".join(
+        f"(CASE WHEN embedding[{d}] >= 0 THEN '1' ELSE '0' END)"
+        for d in dims)
+
+
+_COS_XY = """round(list_dot_product(x.embedding, y.embedding)
+                     / (sqrt(list_dot_product(x.embedding, x.embedding))
+                        * sqrt(list_dot_product(y.embedding, y.embedding))),
+                     4) + 0.0"""
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -675,12 +731,10 @@ ORACLE_SQL: dict[str, str] = {
                                          ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored) WHERE rank <= 3
     """,
-    "q22_ann_signbucket": """
+    "q22_ann_signbucket": f"""
         WITH b AS (
             SELECT vec_id, embedding,
-                   (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
-                   || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
-                   || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) AS bucket
+                   {_duck_signbits(Q22_DIMS)} AS bucket
             FROM embeddings
         ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
                  WHERE vec_id < 5),
@@ -706,17 +760,39 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings)
         GROUP BY label, dim
     """,
-    "q24_embedding_neardup": """
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-               round(list_dot_product(a.embedding, b.embedding)
-                     / (sqrt(list_dot_product(a.embedding, a.embedding))
-                        * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
-                   + 0.0 AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.embedding, b.embedding)
-                    / (sqrt(list_dot_product(a.embedding, a.embedding))
-                       * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.95
+    "q24_embedding_neardup": f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding,
+                   label
+            FROM embeddings
+        ), eng AS (
+            SELECT vec_id + {NEARDUP_OFFSET} AS vec_id,
+                   list_transform(embedding,
+                                  v -> v * {NEARDUP_SCALE} + {NEARDUP_SHIFT})
+                       AS embedding,
+                   label
+            FROM embeddings WHERE vec_id < {NEARDUP_N}
+        ), uni AS (
+            SELECT * FROM base UNION ALL SELECT * FROM eng
+        ), bk AS (
+            SELECT vec_id, 0 AS band_idx,
+                   {_duck_signbits(NEARDUP_BANDS[0])} AS bucket FROM uni
+            UNION ALL
+            SELECT vec_id, 1,
+                   {_duck_signbits(NEARDUP_BANDS[1])} FROM uni
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM bk a JOIN bk b
+              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT a_id, b_id, x.label, {_COS_XY} AS cos
+            FROM cand
+            JOIN uni x ON x.vec_id = a_id
+            JOIN uni y ON y.vec_id = b_id
+        )
+        SELECT a_id, b_id, label, cos FROM scored WHERE cos >= 0.95
     """,
     "q25_sessionization": """
         SELECT user_id, count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
