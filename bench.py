@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE_QUERIES = [
     "q01_pricing_summary", "q06_revenue_by_nation", "q08_word_counts",
     "q13_minhash_signatures", "q15_simhash", "q17_text_quality",
-    "q21_knn_bruteforce", "q25_sessionization",
+    "q21_knn_bruteforce", "q25_sessionization", "q34_ann_ivf",
+    "q35_dedup_groups",
 ]
 
 
@@ -114,6 +115,15 @@ def main() -> None:
         timings[name] = round(
             best_of(lambda: QUERIES[name](spark, sf_dir)), 3)
 
+    # IVF quality readout: recall@3 of the trained-quantizer ANN (q34,
+    # nprobe cells probed) against the exact brute-force baseline (q21)
+    from ocr_documents_spark.operators.ivf import K_CELLS, NPROBE
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in QUERIES["q21_knn_bruteforce"](spark, sf_dir).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in QUERIES["q34_ann_ivf"](spark, sf_dir).collect()}
+    recall = round(len(bf & ivf) / len(bf), 4) if bf else None
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "extraction+operator suite wall time",
@@ -124,6 +134,8 @@ def main() -> None:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 1),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "ivf_recall_at_3": recall,
+        "ivf_config": {"k_cells": K_CELLS, "nprobe": NPROBE},
     }))
     spark.stop()
 

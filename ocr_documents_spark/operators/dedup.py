@@ -180,23 +180,24 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (sym.select("src").distinct()
               .withColumn("label", F.col("src"))
               .localCheckpoint())
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels.select(F.col("src").alias("dst"),
                                                F.col("label").alias("nlabel")),
                                  "dst")
                         .groupBy("src").agg(F.min("nlabel").alias("nmin")))
-        new_labels = (labels.join(neighbor_min, "src", "left")
-                      .select("src",
-                              F.least("label", F.coalesce("nmin", "label"))
-                              .alias("label"))
-                      .localCheckpoint())
-        changed = (labels.alias("o")
-                   .join(new_labels.alias("n"), "src")
-                   .filter(F.col("o.label") != F.col("n.label"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.join(neighbor_min, "src", "left")
+                  .select("src",
+                          F.least("label", F.coalesce("nmin", "label"))
+                          .alias("label"))
+                  .localCheckpoint())
+        # labels can only DECREASE under min-propagation, so the label sum
+        # is strictly monotone: one cheap agg detects the fixpoint instead
+        # of a per-iteration join-and-compare
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("component"))
 

@@ -1,0 +1,218 @@
+"""IVF (inverted-file) ANN with a k-means-TRAINED coarse quantizer.
+
+Replaces the r1 stand-in that used the label column as the codebook: the
+codebook here is learned with Lloyd's iterations expressed as DataFrame
+transformations, so the operator works on any unlabeled embedding corpus.
+
+Pipeline (classic IVF, e.g. Jégou et al., "Product quantization for
+nearest neighbor search", TPAMI 2011 — coarse-quantizer stage only):
+
+1. TRAIN: k deterministic seed vectors -> `iters` rounds of
+   (assign points to nearest centroid by squared L2) /
+   (recompute centroid = per-dim mean).
+2. INDEX: assign every corpus vector to its final cell — at scale the
+   cell id becomes the partition/shuffle key of the stored index.
+3. PROBE: a query ranks cells by distance to the trained centroids and
+   scans the top-``nprobe`` inverted lists only; exact cosine re-ranks.
+
+Determinism / oracle contract: every stage that feeds an ordering is
+rounded on BOTH engines — centroid means to 4 decimals (+0.0 normalizes
+IEEE signed zero), L2 distances to 4 before the rank with cell-id
+tie-break, cosines to 4 before the final rank (the r1 ADVICE flagged the
+unrounded assignment cosine as a cross-engine ulp flip risk).  The DuckDB
+builders below unroll the same iterations in SQL.
+
+Scale notes: training runs over the corpus here (small SF tiers); a
+production 10^12-vector run trains on a deterministic sample and
+broadcast-joins the k×dim codebook everywhere it is used — exactly the
+shape below (centroids ride F.broadcast).  nprobe trades recall for scan
+fraction; recall@k vs the brute-force baseline (queries.q21) is reported
+by bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+K_CELLS = 8
+ITERS = 3
+# nprobe=4 of 8 cells scans ~half the corpus: measured recall@3 vs the
+# brute-force baseline is 0.80/0.87/0.80 at sf0.001/0.01/0.1, vs
+# 0.73/0.33/0.53 at nprobe=2 — this corpus's similarity structure is weak
+# (max off-diagonal cosine ~0.5), so neighbors straddle cell boundaries and
+# the recall/scan-fraction curve is the honest readout (see BENCH.md)
+NPROBE = 4
+# deterministic, SF-independent seed vectors (all ids exist at every tier;
+# stride-61 spreads them across the corpus ordering)
+INIT_IDS = [5, 66, 127, 188, 249, 310, 371, 432]
+
+
+def _as_double(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+
+
+def _dist2(v, c):
+    """Rounded squared L2 via the dot identity (|v|^2 - 2<v,c> + |c|^2)."""
+    return F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 4)
+
+
+def _nearest_cell(points: DataFrame, cent: DataFrame) -> DataFrame:
+    """points(vec_id, embedding) x cent(cell, cvec) -> + cell of nearest."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (points.crossJoin(F.broadcast(cent))
+            .withColumn("d2", _dist2(F.col("embedding"), F.col("cvec")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", "cell"))
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """per-cell per-dim mean -> (cell, cvec), rounded for determinism."""
+    return (assigned
+            .select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select("cell", F.transform("s", lambda t: t["m"]).alias("cvec")))
+
+
+def train_centroids(emb: DataFrame, init_ids: list[int] = None,
+                    iters: int = ITERS) -> DataFrame:
+    """Lloyd's k-means -> (cell, cvec) trained codebook."""
+    init_ids = INIT_IDS if init_ids is None else init_ids
+    e = _as_double(emb)
+    spark = emb.sparkSession
+    seed_map = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(init_ids)], "vec_id long, cell int")
+    cent = (e.join(F.broadcast(seed_map), "vec_id")
+            .select("cell", F.col("embedding").alias("cvec")))
+    for _ in range(iters):
+        cent = _recompute(_nearest_cell(e, cent))
+    return cent
+
+
+def ivf_topk(emb: DataFrame, query_filter, candidate_filter,
+             k: int = 3, nprobe: int = NPROBE,
+             iters: int = ITERS) -> DataFrame:
+    """Trained-IVF ANN: (query_id, neighbor_id, cos, rank) top-k per query.
+
+    ``query_filter`` / ``candidate_filter`` are column predicates over
+    vec_id splitting the corpus (mirrors queries.q21 so recall@k is
+    directly comparable)."""
+    e = _as_double(emb)
+    cent = train_centroids(emb, iters=iters)
+
+    # INDEX: final cell assignment of the candidate corpus
+    cands = _nearest_cell(e.filter(candidate_filter), cent) \
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"), "cell")
+
+    # PROBE: top-nprobe cells per query
+    q = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("d2", _dist2(F.col("qv"), F.col("cvec")))
+              .withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("query_id", "qv", "cell"))
+
+    scored = (probes.join(cands, "cell")
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                          + F.lit(0.0)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same math, iterations unrolled)
+# ---------------------------------------------------------------------------
+
+_D2 = ("round(list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c}) "
+       "+ list_dot_product({c}, {c}), 4)")
+
+
+def _duck_assign(points_cte: str, cent_cte: str, out: str) -> str:
+    d2 = _D2.format(v="p.embedding", c="c.cvec")
+    return f"""{out} AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT p.vec_id, p.embedding, c.cell,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {d2} ASC, c.cell ASC) AS r
+                FROM {points_cte} p CROSS JOIN {cent_cte} c)
+            WHERE r = 1
+        )"""
+
+
+def _duck_recompute(assigned_cte: str, out: str) -> str:
+    return f"""{out} AS (
+            SELECT cell, list(m ORDER BY dim) AS cvec FROM (
+                SELECT cell, dim, round(avg(x), 4) + 0.0 AS m FROM (
+                    SELECT cell, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM {assigned_cte})
+                GROUP BY cell, dim)
+            GROUP BY cell
+        )"""
+
+
+def duckdb_ivf_topk_sql(k: int = 3, nprobe: int = NPROBE,
+                        iters: int = ITERS,
+                        init_ids: list[int] = None) -> str:
+    init_ids = INIT_IDS if init_ids is None else init_ids
+    seed_values = ", ".join(f"({v}, {i})" for i, v in enumerate(init_ids))
+    parts = [f"""e AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT m.cell, e.embedding AS cvec
+            FROM e JOIN (VALUES {seed_values}) m(vid, cell)
+              ON e.vec_id = m.vid
+        )"""]
+    for i in range(iters):
+        parts.append(_duck_assign("e", f"c{i}", f"a{i}"))
+        parts.append(_duck_recompute(f"a{i}", f"c{i + 1}"))
+    cf = f"c{iters}"
+    d2q = _D2.format(v="q.qv", c="c.cvec")
+    parts.append(_duck_assign(
+        "(SELECT vec_id, embedding FROM e WHERE vec_id >= 5)", cf, "cands"))
+    parts.append(f"""q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 5
+        ),
+        probes AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY {d2q} ASC, c.cell ASC) AS r
+                FROM q CROSS JOIN {cf} c)
+            WHERE r <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, x.vec_id AS neighbor_id,
+                   round(list_dot_product(p.qv, x.embedding)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(x.embedding, x.embedding))),
+                         4) + 0.0 AS cos
+            FROM probes p JOIN cands x ON x.cell = p.cell
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC)
+                          AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """

@@ -522,35 +522,18 @@ def q32_media_features(spark, sf_dir):
 
 
 def q34_ann_ivf(spark, sf_dir):
-    """IVF-style ANN, the scale path beyond brute force: a coarse quantizer
-    (deterministic stand-in: per-label centroids = the 'trained' codebook)
-    assigns each query to its nearest centroid, and only that cell's
-    inverted list is scanned for the exact top-3 (nprobe=1).  At 100 TB the
-    cell id is the shuffle/partition key, so a query touches one partition
-    of the corpus instead of all of it; recall is traded via nprobe."""
-    emb = _emb(spark, sf_dir)
-    cent = (emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("label", "dim").agg(F.avg("x").alias("m"))
-            .groupBy("label")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
-            .select("label", F.transform(
-                "s", lambda t: t["m"]).alias("cvec")))
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    qa = (q.crossJoin(F.broadcast(cent))
-          .withColumn("cos_c", cosine(F.col("qv"), F.col("cvec"))))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("label"))
-    assign = (qa.withColumn("r", F.row_number().over(wq)).filter(F.col("r") == 1)
-              .select("query_id", "qv", F.col("label").alias("cell")))
-    c = emb.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
-        F.col("label").alias("clabel"))
-    scored = (assign.join(c, assign.cell == c.clabel)
-              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4) + F.lit(0.0)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("query_id", "cell", "neighbor_id", "cos", "rank"))
+    """Trained IVF ANN (operators/ivf.py): a k-means-learned coarse
+    quantizer (Lloyd's iterations as DataFrame transforms — no label
+    column involved), candidate corpus indexed by final cell, queries
+    probing their top-2 cells, exact cosine re-rank for the top-3.  At
+    100 TB the cell id is the index partition key, so a query touches
+    nprobe/k of the corpus; recall@3 vs brute force (q21) is reported by
+    bench.py.  Every ordering input is rounded on both engines (the r1
+    unrounded assignment cosine was an oracle ulp-flip risk)."""
+    from .operators.ivf import ivf_topk
+    return ivf_topk(_emb(spark, sf_dir),
+                    query_filter=F.col("vec_id") < 5,
+                    candidate_filter=F.col("vec_id") >= 5)
 
 
 def q33_approx_distinct(spark, sf_dir):
@@ -840,43 +823,7 @@ ORACLE_SQL: dict[str, str] = {
                      4) AS l2_norm
         FROM embeddings
     """,
-    "q34_ann_ivf": """
-        WITH cent AS (
-          SELECT label, list(m ORDER BY dim) AS cvec FROM (
-            SELECT label, dim, avg(x) AS m FROM (
-              SELECT label, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS dim
-              FROM embeddings)
-            GROUP BY label, dim)
-          GROUP BY label
-        ),
-        q AS (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 5),
-        assign AS (
-          SELECT query_id, qv, label AS cell FROM (
-            SELECT q.query_id, q.qv, cent.label,
-                   row_number() OVER (
-                     PARTITION BY q.query_id
-                     ORDER BY list_dot_product(q.qv, cent.cvec)
-                              / (sqrt(list_dot_product(q.qv, q.qv))
-                                 * sqrt(list_dot_product(cent.cvec, cent.cvec)))
-                              DESC, cent.label ASC) AS r
-            FROM q CROSS JOIN cent) WHERE r = 1
-        ),
-        scored AS (
-          SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
-                 round(list_dot_product(a.qv, e.embedding)
-                       / (sqrt(list_dot_product(a.qv, a.qv))
-                          * sqrt(list_dot_product(e.embedding, e.embedding))),
-                       4) + 0.0 AS cos
-          FROM assign a JOIN embeddings e ON e.label = a.cell
-          WHERE e.vec_id >= 5
-        )
-        SELECT query_id, cell, neighbor_id, cos, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
-          FROM scored) WHERE rank <= 3
-    """,
+    "q34_ann_ivf": __import__("ocr_documents_spark.operators.ivf", fromlist=["x"]).duckdb_ivf_topk_sql(),
     # q27/q28/q32/q33 intentionally absent: the extraction pipeline and the
     # media decode have no SQL oracle (their strong check is the pytest
     # span-sequence equality suite); approx_count_distinct sketches are

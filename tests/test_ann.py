@@ -71,6 +71,44 @@ def test_q24_plan_has_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_trained_centroids_shape(spark):
+    """k-means codebook: K cells, dim-64 centroids, deterministic reruns."""
+    from ocr_documents_spark.operators.ivf import K_CELLS, train_centroids
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = {r["cell"]: r["cvec"] for r in train_centroids(emb).collect()}
+    c2 = {r["cell"]: r["cvec"] for r in train_centroids(emb).collect()}
+    assert set(c1) == set(range(K_CELLS))
+    assert all(len(v) == 64 for v in c1.values())
+    assert c1 == c2
+
+
+def test_ivf_recall_floor_vs_bruteforce(spark):
+    """The trained quantizer at the default nprobe must keep recall@3 >=
+    0.8 against the exact baseline (measured 0.80-0.87 across tiers)."""
+    from ocr_documents_spark.queries import q21_knn_bruteforce, q34_ann_ivf
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in q21_knn_bruteforce(spark, SF_DIR).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in q34_ann_ivf(spark, SF_DIR).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.8
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every cell degenerates to the exact answer — the recall/
+    scan-fraction dial is sound end to end."""
+    import pyspark.sql.functions as SF
+    from ocr_documents_spark.operators.ivf import K_CELLS, ivf_topk
+    from ocr_documents_spark.queries import q21_knn_bruteforce
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full = ivf_topk(emb, SF.col("vec_id") < 5, SF.col("vec_id") >= 5,
+                    nprobe=K_CELLS)
+    got = {(r["query_id"], r["neighbor_id"], r["cos"])
+           for r in full.collect()}
+    bf = {(r["query_id"], r["neighbor_id"], r["cos"])
+          for r in q21_knn_bruteforce(spark, SF_DIR).collect()}
+    assert got == bf
+
+
 def test_cosine_matches_math(spark):
     df = _vecs(spark, [(0, [1.0, 2.0, 2.0])])
     q = [2.0, 1.0, 2.0]
