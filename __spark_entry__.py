@@ -10,7 +10,8 @@ plus the training-data pipeline ops (dedup, similarity search, text
 analytics) over the driver's parquet tables, each with a DuckDB oracle.
 The extraction pipeline's strong correctness gate is the pytest
 span-sequence-equality suite (tests/test_pipeline_equality.py); its driver
-entries (q27/q28) are rows-only by design.
+entries (q27/q28) are additionally value-checked against golden parquet
+materialized by the same pure single-node oracle.
 """
 
 from __future__ import annotations

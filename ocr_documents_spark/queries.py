@@ -16,8 +16,9 @@ search (brute-force + LSH-bucketed), embedding centroids, text analytics
 tumbling windows, set ops (intersect/exceptAll), reference date
 normalization (DD-Mon-YY, expiry−10y+1d), array higher-order functions
 (vector norms), multimodal media-metadata extraction, approx-distinct
-sketches, and the extraction pipeline itself (rows-only check — its
-strong oracle is the pytest span-equality suite).
+sketches, and the extraction pipeline itself (value-checked against
+golden parquet the pure single-node oracle materializes; the pytest
+span-equality suite remains the per-span strong check).
 """
 
 from __future__ import annotations
@@ -423,11 +424,64 @@ def q26_hourly_event_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# the extraction pipeline itself (rows-only driver check; the strong oracle
-# is tests/test_pipeline_equality.py span-sequence equality)
+# the extraction pipeline itself — value-level golden-parquet oracle: the
+# pure single-node pipeline (extractors/pipeline_pure.py, the same code the
+# pytest span-equality suite trusts) materializes its expected outputs as
+# parquet that the DuckDB side reads, so q27/q28 are full rows+schema+hash
+# driver checks instead of rows-only
 # ---------------------------------------------------------------------------
 
 _PIPELINE_DOCS = 200
+
+import os as _os2
+
+_GOLDEN_DIR = _os2.path.join(
+    _os2.path.dirname(_os2.path.dirname(_os2.path.abspath(__file__))),
+    ".golden")
+
+
+def _ensure_golden() -> dict[str, str]:
+    """(Re)materialize the pure-oracle expected results for the synthetic
+    200-doc extraction fixture.  Always regenerated (sub-second) so a
+    changed extractor or fixture can never leave a stale golden poisoning
+    the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .extractors.pipeline_pure import process_document
+    from .fixtures.gen import generate_docs
+
+    _os2.makedirs(_GOLDEN_DIR, exist_ok=True)
+    res_path = _os2.path.join(_GOLDEN_DIR, "q27_results.parquet")
+    fl_path = _os2.path.join(_GOLDEN_DIR, "q28_fields_long.parquet")
+
+    res_rows, fl_rows = [], []
+    for d in generate_docs(_PIPELINE_DOCS):
+        r = process_document(d["doc_id"], d["spans"])
+        res_rows.append({
+            "doc_id": r["doc_id"], "document_type": r["document_type"],
+            "status": r["status"], "n_pages": r["n_pages"],
+            "n_fields": len(r["fields"]),
+            "n_out_spans": len(r["out_spans"])})
+        for name, f in r["fields"].items():
+            fl_rows.append({"doc_id": r["doc_id"],
+                            "document_type": r["document_type"],
+                            "field_name": name,
+                            "confidence": float(f["confidence"])})
+
+    pq.write_table(pa.Table.from_pylist(res_rows, schema=pa.schema([
+        ("doc_id", pa.string()), ("document_type", pa.string()),
+        ("status", pa.string()), ("n_pages", pa.int32()),
+        ("n_fields", pa.int32()), ("n_out_spans", pa.int32()),
+    ])), res_path)
+    pq.write_table(pa.Table.from_pylist(fl_rows, schema=pa.schema([
+        ("doc_id", pa.string()), ("document_type", pa.string()),
+        ("field_name", pa.string()), ("confidence", pa.float64()),
+    ])), fl_path)
+    return {"q27": res_path, "q28": fl_path}
+
+
+_GOLDEN = _ensure_golden()
 
 
 def _synthetic_docs_df(spark):
@@ -824,9 +878,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
     """,
     "q34_ann_ivf": __import__("ocr_documents_spark.operators.ivf", fromlist=["x"]).duckdb_ivf_topk_sql(),
-    # q27/q28/q32/q33 intentionally absent: the extraction pipeline and the
-    # media decode have no SQL oracle (their strong check is the pytest
-    # span-sequence equality suite); approx_count_distinct sketches are
+    # q27/q28: DuckDB reads the golden parquet the PURE single-node
+    # pipeline materializes (_ensure_golden) — the driver now value-checks
+    # the extraction pipeline itself, not just row counts
+    "q27_extraction_pipeline": f"""
+        SELECT doc_id, document_type, status, n_pages, n_fields, n_out_spans
+        FROM '{_GOLDEN["q27"]}'
+    """,
+    "q28_extraction_fields_long": f"""
+        SELECT document_type, field_name, count(*) AS n,
+               round(avg(confidence), 4) AS avg_confidence
+        FROM '{_GOLDEN["q28"]}'
+        GROUP BY document_type, field_name
+    """,
+    # q32/q33 intentionally absent: the media decode has no SQL oracle
+    # (its strong check is the pytest span-sequence equality suite that
+    # rides the same decode); approx_count_distinct sketches are
     # engine-specific by construction.
 }
 
