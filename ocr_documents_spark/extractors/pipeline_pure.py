@@ -34,7 +34,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 from .classify import classify_enhanced
 from .doc_types import extract_fields
 from .media import decode_media_ref
-from .quality import quality_passed
+from .quality import quality_report
 from .registry import CLASSIFY_MIN_CONFIDENCE, COMPLETED_FIELD_FRACTION, expected_field_count
 
 TEXT_SPAN_CONFIDENCE = 85.0  # backend/ocr_service.py:1536 (pre-extracted text)
@@ -60,24 +60,32 @@ def recover_pages(spans: Sequence[Any]) -> List[Dict[str, Any]]:
     return pages
 
 
-def rejected_quality_result(doc_id: str, n_spans: int) -> Dict[str, Any]:
+def rejected_quality_result(doc_id: str, n_spans: int,
+                            issues: Optional[List[str]] = None,
+                            warnings: Optional[List[str]] = None
+                            ) -> Dict[str, Any]:
     """Result shape for a document that failed the quality gate.
 
     The reference aborts BEFORE OCR on quality failure (backend/main.py:137-152
     returns HTTP 400 pre-OCR), so no page text or confidence ever exists for
     these documents; we encode that as confidence 0.0 and no recovered pages.
+    ``issues``/``warnings`` carry the Q5 triage surface (the 400 body's
+    ``issues[]``/``warnings[]``, image_quality_checker.py:56-62).
     """
     return {
         "doc_id": doc_id, "pages": [], "raw_text": "",
         "document_type": None, "classify_confidence": 0.0, "fields": {},
         "overall_confidence": 0.0, "status": "rejected_quality",
         "n_pages": n_spans,
+        "quality_issues": list(issues or []),
+        "quality_warnings": list(warnings or []),
         "out_spans": [("status", "rejected_quality", None, 0)],
     }
 
 
 def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
-                      forced_type: Optional[str] = None) -> Dict[str, Any]:
+                      forced_type: Optional[str] = None,
+                      quality_warnings: Sequence[str] = ()) -> Dict[str, Any]:
     """Steps 3-5 over already-recovered, quality-passed pages.
 
     This is the exact function the Spark heavy-path finalize stage
@@ -105,6 +113,8 @@ def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
         "overall_confidence": sum(confs) / len(confs) if confs else 0.0,
         "status": None,
         "n_pages": len(pages),
+        "quality_issues": [],
+        "quality_warnings": list(quality_warnings),
     }
 
     if forced_type is not None:
@@ -149,14 +159,16 @@ def process_recovered(doc_id: str, pages: Sequence[Dict[str, Any]],
     return result
 
 
-def document_quality_ok(spans: Sequence[Any],
-                        skip_quality_check: bool = False) -> bool:
+def document_quality_report(spans: Sequence[Any],
+                            skip_quality_check: bool = False
+                            ) -> Tuple[bool, List[str], List[str]]:
     """Gate on the FIRST media span's metrics only — decoded BEFORE any
     other recovery work (cheap-first; the reference renders only page 1 at
     reduced dpi for the same reason, backend/image_quality_checker.py:245).
+    -> (passed, issues, warnings) — the full Q5 surface.
     """
     if skip_quality_check:
-        return True
+        return True, [], []
     first_ref = None
     first_key = None
     for s in spans:
@@ -174,20 +186,29 @@ def document_quality_ok(spans: Sequence[Any],
         if first_key is None or key < first_key:
             first_key, first_ref = key, ref
     if first_ref is None:
-        return True  # born-digital document: nothing to gate on
+        return True, [], []  # born-digital document: nothing to gate on
     _text, _conf, qc = decode_media_ref(first_ref)
-    return quality_passed(
+    passed, _score, issues, warnings = quality_report(
         qc.get("w", 0), qc.get("h", 0), qc.get("blur", 0.0),
-        qc.get("brightness", 0.0), qc.get("contrast", 0.0))
+        qc.get("brightness", 0.0), qc.get("contrast", 0.0),
+        qc.get("skew", 0.0))
+    return passed, issues, warnings
+
+
+def document_quality_ok(spans: Sequence[Any],
+                        skip_quality_check: bool = False) -> bool:
+    return document_quality_report(spans, skip_quality_check)[0]
 
 
 def process_document(doc_id: str, spans: Sequence[Any],
                      skip_quality_check: bool = False,
                      forced_type: Optional[str] = None) -> Dict[str, Any]:
     """Full oracle pipeline for one document (gate first, then recover)."""
-    if not document_quality_ok(spans, skip_quality_check):
-        return rejected_quality_result(doc_id, len(spans))
-    return process_recovered(doc_id, recover_pages(spans), forced_type)
+    ok, issues, warnings = document_quality_report(spans, skip_quality_check)
+    if not ok:
+        return rejected_quality_result(doc_id, len(spans), issues, warnings)
+    return process_recovered(doc_id, recover_pages(spans), forced_type,
+                             quality_warnings=warnings)
 
 
 def out_spans_for_document(doc_id: str, spans: Sequence[Any]) -> List[OutSpan]:

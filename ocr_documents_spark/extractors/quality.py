@@ -70,3 +70,54 @@ def quality_passed(w: float, h: float, blur: float, brightness: float,
     if contrast < t["contrast_min"]:
         return False
     return quality_score(w, h, blur, brightness, contrast) >= 50.0
+
+
+def quality_report(w: float, h: float, blur: float, brightness: float,
+                   contrast: float, skew: float = 0.0):
+    """Full Q5 surface: (passed, score, issues[], warnings[]) with the
+    reference's exact message strings and evaluation order
+    (backend/image_quality_checker.py:56-142): resolution -> blur ->
+    brightness -> contrast -> skew (warn-only) -> composite score.
+
+    Message numbers print with one decimal; fixture metrics are 1-decimal
+    exact so Python and JVM %.1f render identically (no half-way rounding).
+    """
+    t = THRESHOLDS
+    issues: list = []
+    warnings: list = []
+
+    if w < t["min_width"] or h < t["min_height"]:
+        issues.append(
+            f"Image resolution too low ({int(w)}x{int(h)}). Minimum "
+            f"required: {t['min_width']}x{t['min_height']}")
+    if blur < t["blur_threshold"]:
+        issues.append(
+            f"Image is blurry (score: {blur:.1f}). "
+            f"Minimum required: {t['blur_threshold']}")
+    elif blur < t["blur_threshold"] * 1.5:
+        warnings.append("Image sharpness is borderline. Results may vary.")
+    if brightness < t["brightness_min"]:
+        issues.append(
+            f"Image too dark (brightness: {brightness:.1f}). "
+            f"Minimum required: {t['brightness_min']}")
+    elif brightness > t["brightness_max"]:
+        issues.append(
+            f"Image too bright/overexposed (brightness: {brightness:.1f}). "
+            f"Maximum allowed: {t['brightness_max']}")
+    if contrast < t["contrast_min"]:
+        issues.append(
+            f"Image has low contrast (score: {contrast:.1f}). "
+            f"Minimum required: {t['contrast_min']}")
+    if abs(skew) > 5:
+        warnings.append(
+            f"Document appears rotated by {skew:.1f}°. "
+            "This may affect extraction accuracy.")
+
+    score = quality_score(w, h, blur, brightness, contrast)
+    if score < 50:
+        if not issues:
+            issues.append("Overall image quality is poor")
+    elif score < 70:
+        warnings.append("Image quality is acceptable but not optimal")
+
+    return (not issues), score, issues, warnings

@@ -54,6 +54,14 @@ QC_FAILS = [
     {"w": 1240, "h": 920, "blur": 260.0, "brightness": 138.0, "contrast": 11.0, "skew": 0.5},
     {"w": 340, "h": 260, "blur": 260.0, "brightness": 138.0, "contrast": 62.0, "skew": 0.5},
 ]
+# pass the gate but trip the Q5 warn channel (reference
+# image_quality_checker.py:93,127-129,142): rotated >5deg; borderline
+# sharpness (blur in [50,75)); borderline + score 67.1 in [50,70)
+QC_WARNS = [
+    {"w": 1240, "h": 920, "blur": 260.0, "brightness": 138.0, "contrast": 62.0, "skew": 7.3},
+    {"w": 1240, "h": 920, "blur": 60.0, "brightness": 138.0, "contrast": 62.0, "skew": 0.8},
+    {"w": 1240, "h": 920, "blur": 60.0, "brightness": 190.0, "contrast": 62.0, "skew": 0.8},
+]
 
 
 def _name3(rng: random.Random) -> Tuple[str, str, str]:
@@ -415,7 +423,13 @@ def make_document(idx: int, seed: int = SEED) -> Dict:
     if media_heavy:
         doc_type = "PASSPORT"  # filler spans are inert for the MRZ extractor
     quality_fail = rng.random() < 0.03
-    qc = rng.choice(QC_FAILS) if quality_fail else dict(QC_GOOD)
+    quality_warn = rng.random() < 0.05
+    if quality_fail:
+        qc = rng.choice(QC_FAILS)
+    elif quality_warn:
+        qc = rng.choice(QC_WARNS)
+    else:
+        qc = dict(QC_GOOD)
 
     lines = TEMPLATES[doc_type](rng)
     chunks = _chunk(lines, rng.randint(2, 6))

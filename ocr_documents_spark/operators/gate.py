@@ -50,3 +50,68 @@ def quality_passed_col(w: Column, h: Column, blur: Column,
         & (contrast >= T["contrast_min"])
         & (quality_score_col(w, h, blur, brightness, contrast) >= 50.0)
     )
+
+
+def _compact(items: list[Column]) -> Column:
+    """Ordered array of the non-null items (JVM-side, no UDF)."""
+    return F.filter(F.array(*items), lambda x: x.isNotNull())
+
+
+def quality_issues_col(w: Column, h: Column, blur: Column,
+                       brightness: Column, contrast: Column) -> Column:
+    """Q5 fail messages, byte-identical to extractors/quality.quality_report
+    (reference order + format strings, image_quality_checker.py:69-142).
+    Java's %.1f matches Python's for the 1-decimal-exact fixture metrics."""
+    null = F.lit(None).cast("string")
+    score = quality_score_col(w, h, blur, brightness, contrast)
+    resolution = F.when(
+        (w < T["min_width"]) | (h < T["min_height"]),
+        F.format_string(
+            "Image resolution too low (%dx%d). Minimum required: %dx%d",
+            w.cast("int"), h.cast("int"),
+            F.lit(T["min_width"]), F.lit(T["min_height"]))).otherwise(null)
+    blurry = F.when(
+        blur < T["blur_threshold"],
+        F.format_string("Image is blurry (score: %.1f). Minimum required: %s",
+                        blur, F.lit(str(T["blur_threshold"])))).otherwise(null)
+    dark = F.when(
+        brightness < T["brightness_min"],
+        F.format_string("Image too dark (brightness: %.1f). "
+                        "Minimum required: %d",
+                        brightness, F.lit(T["brightness_min"]))) \
+        .when(
+        brightness > T["brightness_max"],
+        F.format_string("Image too bright/overexposed (brightness: %.1f). "
+                        "Maximum allowed: %d",
+                        brightness, F.lit(T["brightness_max"]))).otherwise(null)
+    low_contrast = F.when(
+        contrast < T["contrast_min"],
+        F.format_string("Image has low contrast (score: %.1f). "
+                        "Minimum required: %d",
+                        contrast, F.lit(T["contrast_min"]))).otherwise(null)
+    hard = _compact([resolution, blurry, dark, low_contrast])
+    poor = F.when((score < 50.0) & (F.size(hard) == 0),
+                  F.array(F.lit("Overall image quality is poor"))) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.concat(hard, poor)
+
+
+def quality_warnings_col(w: Column, h: Column, blur: Column,
+                         brightness: Column, contrast: Column,
+                         skew: Column) -> Column:
+    """Q5 warn channel (skew > 5deg, borderline blur, score in [50, 70))."""
+    null = F.lit(None).cast("string")
+    score = quality_score_col(w, h, blur, brightness, contrast)
+    borderline = F.when(
+        (blur >= T["blur_threshold"]) & (blur < T["blur_threshold"] * 1.5),
+        F.lit("Image sharpness is borderline. Results may vary.")) \
+        .otherwise(null)
+    rotated = F.when(
+        F.abs(skew) > 5.0,
+        F.format_string("Document appears rotated by %.1f°. "
+                        "This may affect extraction accuracy.", skew)) \
+        .otherwise(null)
+    not_optimal = F.when(
+        (score >= 50.0) & (score < 70.0),
+        F.lit("Image quality is acceptable but not optimal")).otherwise(null)
+    return _compact([borderline, rotated, not_optimal])

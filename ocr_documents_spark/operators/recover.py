@@ -30,6 +30,7 @@ QC_TYPE = StructType([
     StructField("blur", DoubleType()),
     StructField("brightness", DoubleType()),
     StructField("contrast", DoubleType()),
+    StructField("skew", DoubleType()),
 ])
 
 
@@ -66,7 +67,8 @@ def probe_first_media_qc(media_ref: pd.Series) -> pd.DataFrame:
     before any span fan-out, so rejected documents never pay recovery.
     """
     n = len(media_ref)
-    out = {k: [None] * n for k in ("w", "h", "blur", "brightness", "contrast")}
+    out = {k: [None] * n
+           for k in ("w", "h", "blur", "brightness", "contrast", "skew")}
     refs = media_ref.to_numpy()
     for i in range(n):
         if refs[i] is not None:
@@ -76,4 +78,5 @@ def probe_first_media_qc(media_ref: pd.Series) -> pd.DataFrame:
             out["blur"][i] = float(qc.get("blur", 0.0))
             out["brightness"][i] = float(qc.get("brightness", 0.0))
             out["contrast"][i] = float(qc.get("contrast", 0.0))
+            out["skew"][i] = float(qc.get("skew", 0.0))
     return pd.DataFrame(out)

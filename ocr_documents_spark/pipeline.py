@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, StringType,
                                StructField, StructType)
 
-from .operators.gate import quality_passed_col
+from .operators.gate import (quality_issues_col, quality_passed_col,
+                             quality_warnings_col)
 from .operators.recover import probe_first_media_qc, recover_span
 
 DOCS_SCHEMA = StructType([
@@ -76,6 +77,12 @@ RESULT_SCHEMA = StructType([
     StructField("n_pages", IntegerType()),
     StructField("fields", ArrayType(FIELD_TYPE)),
     StructField("out_spans", ArrayType(OUT_SPAN_TYPE)),
+    # Q5 triage surface (reference issues[]/warnings[],
+    # image_quality_checker.py:56-62): issues explain a rejected_quality
+    # status; warnings ride passing docs (skew, borderline sharpness,
+    # 50<=score<70)
+    StructField("quality_issues", ArrayType(StringType())),
+    StructField("quality_warnings", ArrayType(StringType())),
 ])
 
 
@@ -126,11 +133,13 @@ def _append_result(rows: dict, r: dict) -> None:
     rows["out_spans"].append([
         {"kind": k, "text": t, "media_ref": m, "order": o}
         for (k, t, m, o) in r["out_spans"]])
+    rows["quality_issues"].append(list(r.get("quality_issues", [])))
+    rows["quality_warnings"].append(list(r.get("quality_warnings", [])))
 
 
 _RESULT_KEYS = ("doc_id", "document_type", "classify_confidence",
                 "overall_confidence", "status", "n_pages", "fields",
-                "out_spans")
+                "out_spans", "quality_issues", "quality_warnings")
 
 
 def _finalize_batches(forced_type: str | None = None):
@@ -144,11 +153,14 @@ def _finalize_batches(forced_type: str | None = None):
 
         for pdf in batches:
             rows = {k: [] for k in _RESULT_KEYS}
-            for doc_id, pages_raw in zip(pdf["doc_id"], pdf["pages"]):
+            for doc_id, pages_raw, warns in zip(
+                    pdf["doc_id"], pdf["pages"], pdf["quality_warnings"]):
                 pages = [{"text": p["text"] if p["text"] is not None else "",
                           "confidence": float(p["confidence"]),
                           "media_ref": p["media_ref"]} for p in pages_raw]
-                r = process_recovered(doc_id, pages, forced_type)
+                r = process_recovered(
+                    doc_id, pages, forced_type,
+                    quality_warnings=[] if warns is None else list(warns))
                 _append_result(rows, r)
             yield pd.DataFrame(rows)
     return fn
@@ -193,14 +205,20 @@ def with_quality_gate(docs: DataFrame, skip_quality_check: bool = False) -> Data
             lambda s: F.struct(s["offset"].alias("offset"),
                                s["media_ref"].alias("media_ref")))),
         F.lit(1))["media_ref"]
+    empty = F.array().cast("array<string>")
     if skip_quality_check:
-        ok = F.lit(True)
+        ok, issues, warnings = F.lit(True), empty, empty
     else:
         qc = probe_first_media_qc(first_ref)
-        ok = F.when(first_ref.isNull(), F.lit(True)).otherwise(
-            quality_passed_col(qc["w"], qc["h"], qc["blur"],
-                               qc["brightness"], qc["contrast"]))
-    return docs.withColumn("quality_ok", ok)
+        args = (qc["w"], qc["h"], qc["blur"], qc["brightness"], qc["contrast"])
+        no_media = first_ref.isNull()
+        ok = F.when(no_media, F.lit(True)).otherwise(quality_passed_col(*args))
+        issues = F.when(no_media, empty).otherwise(quality_issues_col(*args))
+        warnings = F.when(no_media, empty).otherwise(
+            quality_warnings_col(*args, qc["skew"]))
+    return (docs.withColumn("quality_ok", ok)
+            .withColumn("quality_issues", issues)
+            .withColumn("quality_warnings", warnings))
 
 
 def rejected_quality_results(docs: DataFrame) -> DataFrame:
@@ -222,13 +240,28 @@ def rejected_quality_results(docs: DataFrame) -> DataFrame:
         F.size("spans").alias("n_pages"),
         F.array().cast(ArrayType(FIELD_TYPE)).alias("fields"),
         F.array(out_span).cast(ArrayType(OUT_SPAN_TYPE)).alias("out_spans"),
+        F.col("quality_issues"),
+        F.col("quality_warnings"),
     )
 
 
 def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
-    """docs -> one row per doc with offset-ordered recovered pages."""
-    spans = docs.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    """docs -> one row per doc with offset-ordered recovered pages (+ the
+    doc-level quality_warnings carried through the fan-out).
+
+    The warnings array rides ONLY the span_idx==0 row (null elsewhere), so
+    the explode shuffle carries one copy per document, not one per span —
+    a 4096-span doc would otherwise ship 4096 copies through two shuffles.
+    """
+    has_warns = "quality_warnings" in docs.columns
+    if not has_warns:
+        docs = docs.withColumn("quality_warnings",
+                               F.array().cast("array<string>"))
+    spans = (docs.select("doc_id", "quality_warnings",
+                         F.posexplode("spans").alias("span_idx", "span"))
+             .withColumn("quality_warnings",
+                         F.when(F.col("span_idx") == 0,
+                                F.col("quality_warnings"))))
 
     if salt:
         # spread media-heavy documents across tasks; without this, a doc
@@ -245,6 +278,7 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
 
     rec = spans.select(
         "doc_id",
+        "quality_warnings",
         F.col("span.offset").alias("offset"),
         F.col("span.media_ref").alias("media_ref"),
         recover_span(F.col("span.kind"), F.col("span.text"),
@@ -257,7 +291,9 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
             F.col("rec.text").alias("text"),
             F.col("media_ref"),
             F.col("rec.confidence").alias("confidence"),
-        ))).alias("pages"))
+        ))).alias("pages"),
+        F.first("quality_warnings", ignorenulls=True)
+        .alias("quality_warnings"))
 
 
 def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
@@ -292,7 +328,8 @@ def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
     gated = with_quality_gate(docs.filter(n > heavy_threshold),
                               skip_quality_check)
     rejected = rejected_quality_results(gated.filter(~F.col("quality_ok")))
-    passed = gated.filter(F.col("quality_ok")).drop("quality_ok")
+    passed = gated.filter(F.col("quality_ok")).select(
+        "doc_id", "spans", "quality_warnings")
     heavy = recover_and_regroup(passed, salt=True).mapInPandas(
         _finalize_batches(forced_type), RESULT_SCHEMA)
     return light.unionByName(heavy).unionByName(rejected)

@@ -455,7 +455,7 @@ def _ensure_golden() -> dict[str, str]:
     res_path = _os2.path.join(_GOLDEN_DIR, "q27_results.parquet")
     fl_path = _os2.path.join(_GOLDEN_DIR, "q28_fields_long.parquet")
 
-    res_rows, fl_rows = [], []
+    res_rows, fl_rows, qual_rows = [], [], []
     for d in generate_docs(_PIPELINE_DOCS):
         r = process_document(d["doc_id"], d["spans"])
         res_rows.append({
@@ -468,6 +468,11 @@ def _ensure_golden() -> dict[str, str]:
                             "document_type": r["document_type"],
                             "field_name": name,
                             "confidence": float(f["confidence"])})
+        for channel, key in (("issue", "quality_issues"),
+                             ("warning", "quality_warnings")):
+            for msg in r[key]:
+                qual_rows.append({"doc_id": r["doc_id"], "channel": channel,
+                                  "message": msg})
 
     pq.write_table(pa.Table.from_pylist(res_rows, schema=pa.schema([
         ("doc_id", pa.string()), ("document_type", pa.string()),
@@ -478,7 +483,12 @@ def _ensure_golden() -> dict[str, str]:
         ("doc_id", pa.string()), ("document_type", pa.string()),
         ("field_name", pa.string()), ("confidence", pa.float64()),
     ])), fl_path)
-    return {"q27": res_path, "q28": fl_path}
+    qual_path = _os2.path.join(_GOLDEN_DIR, "q36_quality.parquet")
+    pq.write_table(pa.Table.from_pylist(qual_rows, schema=pa.schema([
+        ("doc_id", pa.string()), ("channel", pa.string()),
+        ("message", pa.string()),
+    ])), qual_path)
+    return {"q27": res_path, "q28": fl_path, "q36": qual_path}
 
 
 _GOLDEN = _ensure_golden()
@@ -514,6 +524,23 @@ def q28_extraction_fields_long(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # set ops, date normalization, array/vector fns, multimodal, approx aggs
 # ---------------------------------------------------------------------------
+
+def q36_quality_warnings(spark, sf_dir):
+    """Q5 surface as a driver-checked census: every issue/warning message
+    the pipeline emits (skew rotation, borderline sharpness, sub-optimal
+    score, each fail reason), counted across the synthetic corpus and
+    value-checked against the pure oracle's golden parquet."""
+    from .pipeline import run_pipeline
+    results = run_pipeline(_synthetic_docs_df(spark))
+    w = results.select("doc_id", F.lit("warning").alias("channel"),
+                       F.explode("quality_warnings").alias("message"))
+    i = results.select("doc_id", F.lit("issue").alias("channel"),
+                       F.explode("quality_issues").alias("message"))
+    return (w.unionAll(i)
+            .groupBy("channel", "message")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
 
 def q29_set_ops(spark, sf_dir):
     """intersect / exceptAll (SURVEY.md §2.7 set ops: supported-type
@@ -891,6 +918,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM '{_GOLDEN["q28"]}'
         GROUP BY document_type, field_name
     """,
+    "q36_quality_warnings": f"""
+        SELECT channel, message, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM '{_GOLDEN["q36"]}'
+        GROUP BY channel, message
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -933,4 +965,5 @@ QUERIES = {
     "q33_approx_distinct": q33_approx_distinct,
     "q34_ann_ivf": q34_ann_ivf,
     "q35_dedup_groups": q35_dedup_groups,
+    "q36_quality_warnings": q36_quality_warnings,
 }

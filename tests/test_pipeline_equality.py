@@ -63,6 +63,48 @@ def test_all_statuses_exercised(spark_results):
             "rejected_classification"} <= statuses
 
 
+def test_quality_surface_equality(spark_results, corpus):
+    """Q5: issues[]/warnings[] must match the oracle byte-for-byte on both
+    physical plans (native format_string vs Python f-strings)."""
+    seen_warn = seen_issue = 0
+    for d in corpus:
+        golden = process_document(d["doc_id"], d["spans"])
+        got = spark_results[d["doc_id"]]
+        assert list(got["quality_issues"]) == golden["quality_issues"], d["doc_id"]
+        assert list(got["quality_warnings"]) == golden["quality_warnings"], d["doc_id"]
+        seen_warn += bool(golden["quality_warnings"])
+        seen_issue += bool(golden["quality_issues"])
+    assert seen_warn > 0 and seen_issue > 0  # corpus exercises both channels
+
+
+def test_native_gate_messages_match_oracle(spark):
+    """Force the NATIVE gate (heavy path) on hand-built warn/fail docs of
+    every QC variant and compare messages to the pure report."""
+    from ocr_documents_spark.extractors.media import encode_media_ref
+    from ocr_documents_spark.fixtures.gen import QC_FAILS, QC_GOOD, QC_WARNS
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA, run_pipeline
+
+    docs = []
+    for i, qc in enumerate(QC_FAILS + QC_WARNS + [QC_GOOD]):
+        doc_id = f"qc{i:03d}"
+        spans = [("media", None,
+                  encode_media_ref(doc_id, off,
+                                   [[3, 5, f"line {off}", 0.9]], qc), off)
+                 for off in range(8)]  # > heavy_threshold=4 -> native gate
+        docs.append((doc_id, spans))
+    df = spark.createDataFrame(docs, DOCS_SCHEMA)
+    got = {r["doc_id"]: r
+           for r in run_pipeline(df, heavy_threshold=4).collect()}
+    assert len(got) == len(docs)
+    for doc_id, spans in docs:
+        golden = process_document(
+            doc_id, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                     for (k, t, m, o) in spans])
+        assert list(got[doc_id]["quality_issues"]) == golden["quality_issues"], doc_id
+        assert list(got[doc_id]["quality_warnings"]) == golden["quality_warnings"], doc_id
+        assert got[doc_id]["status"] == golden["status"]
+
+
 def test_fields_long_explode(spark, spark_results):
     from ocr_documents_spark.pipeline import fields_long
     import pandas as pd  # noqa: F401
