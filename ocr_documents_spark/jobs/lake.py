@@ -43,6 +43,16 @@ METRICS = "metrics"
 CHECKPOINTS = "checkpoints"
 REJECTS = "rejects"
 
+# streaming surface: its OWN tables, partitioned (ingest_batch, bucket), so
+# at-least-once micro-batch replays overwrite their own partitions instead
+# of appending duplicates, and batch/stream writers never mix directory
+# layouts under one table path.  A periodic compaction job folds
+# results_stream into results via the same bucketed dynamic overwrite.
+STREAM_RESULTS = "results_stream"
+STREAM_FIELDS = "fields_long_stream"
+STREAM_REJECTS = "rejects_stream"
+STREAM_METRICS = "metrics_stream"
+
 
 @dataclass
 class Lake:

@@ -46,6 +46,13 @@ def summarize(spark: SparkSession, lake_root: str, n_buckets: int) -> dict:
             lake.path(L.REJECTS)).count()
     except Exception:
         out["rejected_malformed"] = 0
+    # streaming surface (idempotent per-batch partitions: no replay
+    # double-count) — previously the CLI was blind to streamed docs
+    try:
+        sm = spark.read.parquet(lake.path(L.STREAM_METRICS))
+        out["streamed_docs"] = int(sm.agg(F.sum("n_docs")).first()[0] or 0)
+    except Exception:
+        out["streamed_docs"] = 0
     return out
 
 

@@ -5,10 +5,14 @@ its v1 BackgroundTasks lifecycle (backend/main_v1.py:111-157) is micro-batch
 shaped: work arrives continuously, each unit flows pending -> processing ->
 terminal.  These operators give the engine that continuous-ingest form:
 
-* ``extract_stream``   — run the extraction pipeline's light path over a
-  streaming docs source (files arriving in a lake directory), micro-batch
-  at a time via ``foreachBatch`` so the exact batch pipeline (including its
-  skew split) is reused unchanged.
+* ``extract_stream``   — run the extraction pipeline over a streaming docs
+  source (files arriving in a lake directory), micro-batch at a time via
+  ``foreachBatch`` so the exact batch pipeline (including its skew split
+  and ingest validation) is reused unchanged; commits are idempotent
+  (ingest_batch, bucket)-partitioned dynamic overwrites into the lake's
+  dedicated streaming tables.
+* ``dedup_ingest``     — ``dropDuplicatesWithinWatermark`` over doc_id for
+  at-least-once upstream producers (bounded state).
 * ``sessionize_stream`` — gap-based sessions over the events stream with
   watermarked event-time state (``applyInPandasWithState``); the batch twin
   is queries.q25_sessionization.
@@ -20,6 +24,7 @@ from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (DoubleType, IntegerType, LongType,
                                StructField, StructType, TimestampType)
@@ -138,25 +143,88 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
                     "event_type", "n", "total_value"))
 
 
+def dedup_ingest(docs: DataFrame, within: str = "30 minutes",
+                 key: str = "doc_id") -> DataFrame:
+    """Streaming dedup for at-least-once upstream producers: drop repeated
+    keys arriving within the watermark window (state is bounded — beyond
+    `within`, a key's dedup state is evicted, which is the only memory
+    model that survives a 10^12-doc stream).  The ingest table has no
+    event-time column, so arrival time is stamped as the watermark clock.
+    """
+    return (docs
+            .withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", within)
+            .dropDuplicatesWithinWatermark([key])
+            .drop("ingest_ts"))
+
+
 def extract_stream(spark, docs_path: str, lake_root: str, n_buckets: int,
-                   checkpoint_dir: str, schema=None):
+                   checkpoint_dir: str, schema=None,
+                   dedup_within: str | None = "30 minutes"):
     """Continuous extraction over a docs directory: each micro-batch runs
-    the unchanged batch pipeline + lake commit via foreachBatch."""
-    from ..pipeline import DOCS_SCHEMA, fields_long, run_pipeline
+    the unchanged batch pipeline (ingest validation included — rejects are
+    quarantined exactly like jobs/extract.py) and commits IDEMPOTENTLY to
+    the lake's streaming tables.
+
+    Idempotence: every table is partitioned by (ingest_batch, bucket) and
+    written with dynamic partition overwrite, so foreachBatch's
+    at-least-once replay of a micro-batch rewrites its own partitions to
+    the same bytes instead of appending duplicates.  Per-batch lineage rows
+    land in metrics_stream the same way, so the status CLI sees streamed
+    documents.
+    """
+    from ..pipeline import DOCS_SCHEMA
     from ..jobs import lake as L
 
     lake = L.Lake(lake_root, n_buckets)
     stream = (spark.readStream.schema(schema or DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 8)
               .parquet(docs_path))
-
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        results = (run_pipeline(batch_df.select("doc_id", "spans"))
-                   .withColumn("bucket", lake.bucket_col()))
-        L.append(results, lake, L.RESULTS)
-        L.append(fields_long(results).withColumn(
-            "bucket", lake.bucket_col()), lake, L.FIELDS_LONG)
+    if dedup_within:
+        stream = dedup_ingest(stream, dedup_within)
 
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(commit_batch))
+            .foreachBatch(stream_committer(lake)))
+
+
+def stream_committer(lake):
+    """The per-micro-batch lake commit (exposed for direct replay tests)."""
+    from ..pipeline import fields_long, run_pipeline
+    from ..jobs import lake as L
+    from ..sources.ingest import split_valid
+
+    def _write(df: DataFrame, table: str) -> None:
+        (df.write.partitionBy("ingest_batch", "bucket")
+           .mode("overwrite").parquet(lake.path(table)))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+        t0 = _time.perf_counter()
+        sess = batch_df.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            bid = F.lit(int(batch_id))
+            valid, rejects = split_valid(batch_df.select("doc_id", "spans"))
+            _write(rejects.select("doc_id", "reject_reason")
+                   .withColumn("bucket", lake.bucket_col())
+                   .withColumn("ingest_batch", bid), L.STREAM_REJECTS)
+            results = (run_pipeline(valid.select("doc_id", "spans"))
+                       .withColumn("bucket", lake.bucket_col())
+                       .withColumn("ingest_batch", bid)).persist()
+            try:
+                _write(results, L.STREAM_RESULTS)
+                _write(fields_long(results)
+                       .withColumn("bucket", lake.bucket_col())
+                       .withColumn("ingest_batch", bid), L.STREAM_FIELDS)
+                _write(L.bucket_metrics(results, f"stream-{batch_id}",
+                                        _time.perf_counter() - t0)
+                       .withColumn("ingest_batch", bid), L.STREAM_METRICS)
+            finally:
+                results.unpersist()
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return commit_batch

@@ -182,13 +182,75 @@ def test_extract_stream_matches_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     assert q.awaitTermination(600), 'stream did not finish'
 
-    results = spark.read.parquet(os.path.join(lake_root, L.RESULTS))
+    results = spark.read.parquet(os.path.join(lake_root, L.STREAM_RESULTS))
     assert results.count() == 30
     from ocr_documents_spark.extractors.pipeline_pure import process_document
     got = {r["doc_id"]: r for r in results.collect()}
     for d in generate_docs(30):
         golden = process_document(d["doc_id"], d["spans"])
         assert got[d["doc_id"]]["status"] == golden["status"]
+    # streamed docs are visible to the status CLI via metrics_stream
+    from ocr_documents_spark.jobs.status import summarize
+    assert summarize(spark, lake_root, 4)["streamed_docs"] == 30
+
+
+def test_stream_commit_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME micro-batch must
+    rewrite its (ingest_batch, bucket) partitions, never duplicate rows —
+    in results, fields, and the metrics sidecar alike."""
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA
+    from ocr_documents_spark.streaming.sessionize import stream_committer
+
+    lake = L.Lake(str(tmp_path / "slake"), 4)
+    docs = generate_docs(20)
+    df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in d["spans"]]) for d in docs], DOCS_SCHEMA)
+    commit = stream_committer(lake)
+    commit(df, 7)
+    counts1 = {t: spark.read.parquet(lake.path(t)).count()
+               for t in (L.STREAM_RESULTS, L.STREAM_FIELDS, L.STREAM_METRICS)}
+    commit(df, 7)  # replay
+    counts2 = {t: spark.read.parquet(lake.path(t)).count()
+               for t in (L.STREAM_RESULTS, L.STREAM_FIELDS, L.STREAM_METRICS)}
+    assert counts1 == counts2
+    assert counts1[L.STREAM_RESULTS] == 20
+    res = spark.read.parquet(lake.path(L.STREAM_RESULTS))
+    assert res.select("doc_id").distinct().count() == 20
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the ingest stream: a doc_id
+    re-delivered in a later file is processed once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA
+    from ocr_documents_spark.streaming.sessionize import extract_stream
+
+    src = str(tmp_path / "dupdocs")
+    os.makedirs(src)
+    docs = generate_docs(6)
+    span_type = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                           ("media_ref", pa.string()), ("offset", pa.int32())])
+    schema = pa.schema([("doc_id", pa.string()),
+                        ("spans", pa.list_(span_type))])
+
+    def wf(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(src, name))
+
+    wf("f1.parquet", docs[:4])
+    wf("f2.parquet", docs[2:])  # docs 2,3 re-delivered
+
+    lake_root = str(tmp_path / "dlake")
+    q = (extract_stream(spark, src, lake_root, n_buckets=4,
+                        checkpoint_dir=str(tmp_path / "dck"),
+                        dedup_within="1 hour")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(600), 'stream did not finish'
+    res = spark.read.parquet(os.path.join(lake_root, L.STREAM_RESULTS))
+    assert res.count() == 6
+    assert res.select("doc_id").distinct().count() == 6
 
 
 @pytest.fixture(scope="module")
