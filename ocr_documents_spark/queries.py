@@ -91,6 +91,16 @@ def q03_top_orders(spark, sf_dir):
             .limit(10))
 
 
+def q37_page_scan(spark, sf_dir):
+    """Offset pagination — the reference's list endpoint
+    ``get_documents(skip=10, limit=10)`` (backend/main_v1.py:254-275) as
+    offset().limit() over a deterministic total order."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .offset(10).limit(10))
+
+
 def q04_point_lookup(spark, sf_dir):
     return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
 
@@ -674,6 +684,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
     "q04_point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+    "q37_page_scan": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 10
+    """,
     "q05_first_event_per_user": """
         SELECT user_id, event_id AS first_event_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
@@ -966,4 +981,5 @@ QUERIES = {
     "q34_ann_ivf": q34_ann_ivf,
     "q35_dedup_groups": q35_dedup_groups,
     "q36_quality_warnings": q36_quality_warnings,
+    "q37_page_scan": q37_page_scan,
 }

@@ -1,13 +1,16 @@
 """Physical-plan assertions: the plans we'd want at 100 TB, not just the
 first ones that pass (predicate pushdown reaching the parquet scan, column
 pruning, broadcast joins for small dims, shuffle counts, codegen spans).
+Helpers live in ocr_documents_spark/plans/inspect.py.
 """
 
 import pytest
 
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from ocr_documents_spark.plans.inspect import (codegen_spans, exchange_count,
+                                               has_broadcast_join,
+                                               has_cartesian,
+                                               has_sort_merge_join, plan_of,
+                                               pushed_filters, read_schema)
 
 
 @pytest.fixture(scope="module")
@@ -17,38 +20,45 @@ def sf_dir():
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     from ocr_documents_spark.queries import QUERIES
-    plan = plan_of(QUERIES["q02_filter_pushdown"](spark, sf_dir))
-    assert "PushedFilters: [" in plan
+    pushed = pushed_filters(QUERIES["q02_filter_pushdown"](spark, sf_dir))
     # at least one concrete predicate pushed, not an empty list
-    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "l_discount" in pushed or "l_quantity" in pushed, pushed
 
 
 def test_column_pruning(spark, sf_dir):
     """q03 touches 3 of orders' 6 columns; the scan must not read more."""
     from ocr_documents_spark.queries import QUERIES
-    plan = plan_of(QUERIES["q03_top_orders"](spark, sf_dir))
-    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
-    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
-    assert "o_orderpriority" not in read_schema
-    assert "o_orderdate" not in read_schema
+    rs = read_schema(QUERIES["q03_top_orders"](spark, sf_dir))
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderpriority" not in rs
+    assert "o_orderdate" not in rs
 
 
 def test_small_dim_join_broadcasts(spark, sf_dir):
     """nation (25 rows) and customer side of q06 must broadcast, not
     shuffle-hash: at 100 TB the orders side never moves for these dims."""
     from ocr_documents_spark.queries import QUERIES
-    plan = plan_of(QUERIES["q06_revenue_by_nation"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = QUERIES["q06_revenue_by_nation"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
     top-k then driver merge), never a global sort."""
     from ocr_documents_spark.queries import QUERIES
-    plan = plan_of(QUERIES["q03_top_orders"](spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plan_of(
+        QUERIES["q03_top_orders"](spark, sf_dir))
+
+
+def test_offset_pagination_no_global_sort_materialization(spark, sf_dir):
+    """q37 skip/limit paging: executes as a limit-style collect, and the
+    scan still prunes to the 3 projected columns."""
+    from ocr_documents_spark.queries import QUERIES
+    df = QUERIES["q37_page_scan"](spark, sf_dir)
+    rs = read_schema(df)
+    assert "o_orderpriority" not in rs
+    assert df.count() == 10
 
 
 def test_agg_has_partial_stage(spark, sf_dir):
@@ -60,6 +70,16 @@ def test_agg_has_partial_stage(spark, sf_dir):
     assert "partial_" in plan  # partial_sum / partial_avg / partial_count
 
 
+def test_candidate_ops_never_go_allpairs(spark, sf_dir):
+    """Every pairwise operator generates candidates through a bucket/band
+    key — no cartesian/nested-loop shape anywhere (q21 is the deliberate
+    exception: its broadcast nested loop IS the brute-force baseline)."""
+    from ocr_documents_spark.queries import QUERIES
+    for q in ("q14_lsh_candidate_pairs", "q16_jaccard_verify_candidates",
+              "q24_embedding_neardup"):
+        assert not has_cartesian(QUERIES[q](spark, sf_dir)), q
+
+
 def test_pipeline_default_plan_is_single_scan_no_shuffle(spark):
     from ocr_documents_spark.fixtures.gen import generate_docs
     from ocr_documents_spark.pipeline import DOCS_SCHEMA, run_pipeline
@@ -67,8 +87,7 @@ def test_pipeline_default_plan_is_single_scan_no_shuffle(spark):
         [(d["doc_id"],
           [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
          for d in generate_docs(30)], DOCS_SCHEMA)
-    plan = plan_of(run_pipeline(docs))
-    assert "Exchange" not in plan  # cost model: cheap decode -> zero shuffles
+    assert exchange_count(run_pipeline(docs)) == 0  # cheap decode -> direct
 
 
 def test_pipeline_forced_salt_has_exactly_two_shuffles(spark):
@@ -78,9 +97,8 @@ def test_pipeline_forced_salt_has_exactly_two_shuffles(spark):
         [(d["doc_id"],
           [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
          for d in generate_docs(30)], DOCS_SCHEMA)
-    plan = plan_of(run_pipeline(docs, heavy_threshold=16))
     # salt fan-out + doc_id regroup, nothing else
-    assert plan.count("Exchange") == 2
+    assert exchange_count(run_pipeline(docs, heavy_threshold=16)) == 2
 
 
 def test_wholestage_codegen_covers_native_ops(spark, sf_dir):
@@ -94,3 +112,4 @@ def test_wholestage_codegen_covers_native_ops(spark, sf_dir):
     # both the partial and final agg stages must be inside one
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
     assert "*(1) Filter" in plan  # the pushed residual filter is codegen'd too
+    assert codegen_spans(df) >= 2
