@@ -214,6 +214,48 @@ def delete_document(spark: SparkSession, lake: Lake, doc_id: str) -> None:
             write_bucketed(kept, lake, table)
 
 
+def compact_stream(spark: SparkSession, lake: Lake) -> dict:
+    """Fold the streaming surface into the main lake tables.
+
+    For every doc in results_stream, its LATEST micro-batch row wins; main
+    rows for those docs are replaced, everything else is untouched — the
+    parquet stand-in for ``MERGE INTO lake.results USING results_stream ON
+    doc_id`` followed by truncating the staging table.  Only buckets that
+    streamed data are rewritten (dynamic overwrite).  Idempotent: a crash
+    after the main write but before the stream clear re-merges the same
+    rows (the anti-join prevents duplicates).
+    """
+    try:
+        stream = spark.read.parquet(lake.path(STREAM_RESULTS))
+    except Exception:
+        return {"docs": 0, "buckets": 0}
+    latest_batch = (stream.groupBy("doc_id")
+                    .agg(F.max("ingest_batch").alias("ingest_batch")))
+
+    n_docs = latest_batch.count()
+    buckets = [r["bucket"]
+               for r in stream.select("bucket").distinct().collect()]
+
+    for table, stream_table in ((RESULTS, STREAM_RESULTS),
+                                (FIELDS_LONG, STREAM_FIELDS)):
+        sdf = (spark.read.parquet(lake.path(stream_table))
+               .join(latest_batch, ["doc_id", "ingest_batch"])
+               .drop("ingest_batch"))
+        try:
+            main = (spark.read.parquet(lake.path(table))
+                    .filter(F.col("bucket").isin(buckets)))
+            merged = (main.join(latest_batch.select("doc_id"),
+                                "doc_id", "left_anti")
+                      .unionByName(sdf))
+        except Exception:  # pure-streaming lake: no main table yet
+            merged = sdf
+        write_bucketed(merged, lake, table)
+
+    for stream_table in (STREAM_RESULTS, STREAM_FIELDS):
+        _delete_partition_dir(spark, lake.path(stream_table))
+    return {"docs": n_docs, "buckets": len(buckets)}
+
+
 def export_results_csv(results: DataFrame, path: str) -> None:
     """S10 CSV export (frontend ResultsTable.tsx:51-74): doc summary,
     single headered file."""

@@ -219,6 +219,36 @@ def test_stream_commit_replay_is_idempotent(spark, tmp_path):
     assert res.select("doc_id").distinct().count() == 20
 
 
+def test_compact_stream_merges_into_main_lake(spark, tmp_path):
+    """Compaction folds results_stream into results: latest stream row
+    wins per doc, untouched docs survive, staging tables are cleared, and
+    a second compaction is a no-op."""
+    from ocr_documents_spark.pipeline import DOCS_SCHEMA
+    from ocr_documents_spark.streaming.sessionize import stream_committer
+
+    corpus = str(tmp_path / "cc")
+    write_docs_parquet(corpus, 30, docs_per_file=10)
+    root = str(tmp_path / "clake")
+    job.run(spark, corpus, root, 4, claimed=[0, 1, 2, 3])  # 30 docs batch
+    lake = L.Lake(root, 4)
+
+    # stream 10 docs: 5 overlap the batch lake (updates), 5 are new
+    docs = generate_docs(35)[25:]
+    df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in d["spans"]]) for d in docs], DOCS_SCHEMA)
+    stream_committer(lake)(df, 0)
+
+    report = L.compact_stream(spark, lake)
+    assert report == {"docs": 10, "buckets": report["buckets"]}
+    results = spark.read.parquet(lake.path(L.RESULTS))
+    assert results.count() == 35
+    assert results.select("doc_id").distinct().count() == 35
+    assert not os.path.exists(lake.path(L.STREAM_RESULTS))
+    # idempotent / no-op when nothing is staged
+    assert L.compact_stream(spark, lake) == {"docs": 0, "buckets": 0}
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark on the ingest stream: a doc_id
     re-delivered in a later file is processed once."""

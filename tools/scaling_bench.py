@@ -40,7 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LEVELS = (8, 32)
 REPEATS = 3   # timed runs inside one session (best-of)
-ROUNDS = 3    # interleaved (N, 4N) session pairs; median pair reported
+# interleaved (N, 4N) session pairs; median pair reported, full
+# distribution printed (r1 verdict: more pairs, show the spread)
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
 SF = 0.1
 # 2x the regular bench corpus: at 30k docs the 32-core run is fixed-
 # overhead-bound (~2.8s of scheduling/scan setup on ~4s of compute), which
