@@ -93,7 +93,10 @@ def train_centroids(emb: DataFrame, init_ids: list[int] = None,
     cent = (e.join(F.broadcast(seed_map), "vec_id")
             .select("cell", F.col("embedding").alias("cvec")))
     for _ in range(iters):
-        cent = _recompute(_nearest_cell(e, cent))
+        # materialize the k-row codebook each round: otherwise iteration
+        # i's plan embeds every previous round, and each downstream
+        # consumer (index build, query probe) re-trains from scratch
+        cent = _recompute(_nearest_cell(e, cent)).localCheckpoint()
     return cent
 
 
