@@ -52,6 +52,22 @@ def simhash_from_votes(vote_sums: list[Column]) -> Column:
     return acc
 
 
+def simhash_struct_fold(token_hashes: Column, bits: int) -> Column:
+    """Full SimHash in ONE aggregate() pass over the token-hash array: the
+    accumulator is a struct of per-bit vote sums, so a 60-bit hash costs
+    one array traversal instead of 60 (the per-bit-aggregate formulation
+    re-scans the array once per bit)."""
+    init = F.struct(*[F.lit(0).alias(f"v{b}") for b in range(bits)])
+
+    def step(acc, h):
+        return F.struct(*[
+            (acc[f"v{b}"] + simhash_bit_votes(h, b)).alias(f"v{b}")
+            for b in range(bits)])
+
+    votes = F.aggregate(token_hashes, init, step)
+    return simhash_from_votes([votes[f"v{b}"] for b in range(bits)])
+
+
 # --- DuckDB oracle-side builders (string SQL, same math) -------------------
 
 def duckdb_simhash_select(token_hash_expr: str, bits: int = SIMHASH_BITS) -> str:

@@ -260,6 +260,48 @@ def q35_dedup_groups(spark, sf_dir):
 # text analytics
 # ---------------------------------------------------------------------------
 
+_SIMHASH64_BITS = 60   # full-width near-dup hash (q15's 16-bit version is
+_SIMHASH64_BANDS = 4   # the cross-engine demo; 16 bits collide too easily
+                       # for candidate generation at corpus scale)
+
+
+def q38_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup, end to end: a 60-bit SimHash (one-pass struct
+    fold over the token-hash array — zero shuffle), banded into 4 chunks
+    of 15 bits (pigeonhole: any pair within Hamming distance 3 shares at
+    least one chunk), bucket-join on (band_idx, chunk), verify with exact
+    bit_count(XOR) <= 3.  Same no-all-pairs shape as the MinHash path:
+    the chunk is the only join key."""
+    from .functions.hashing import simhash_struct_fold
+    bits, bands = _SIMHASH64_BITS, _SIMHASH64_BANDS
+    width = bits // bands
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", _words_col().alias("words"))
+            .filter(F.size("words") > 0)
+            .select("doc_id", F.transform("words", md5_int60).alias("th"))
+            .repartition("doc_id"))
+    sig = docs.select(
+        "doc_id", simhash_struct_fold(F.col("th"), bits).alias("simhash"))
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", width * k)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            for k in range(bands)])).alias("band_idx", "chunk")) \
+        .localCheckpoint()
+    a = chunks.select(F.col("doc_id").alias("a_doc_id"),
+                      F.col("simhash").alias("a_sim"), "band_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("b_doc_id"),
+                      F.col("simhash").alias("b_sim"), "band_idx", "chunk")
+    return (a.join(b, ["band_idx", "chunk"])
+            .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+            .select("a_doc_id", "b_doc_id",
+                    F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= 3))
+
+
 def q17_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
@@ -758,6 +800,28 @@ ORACLE_SQL: dict[str, str] = {
         WITH {D.duckdb_verified_cte()}
         SELECT a_doc_id, b_doc_id, jaccard FROM verified
     """,
+    "q38_simhash_neardup": (lambda _v=duckdb_simhash_select(
+            _SIMHASH_TH, bits=_SIMHASH64_BITS): f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), votes AS (
+            SELECT doc_id, {_v[0]}
+            FROM toks WHERE word <> '' GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, ({_v[1]})::BIGINT AS simhash FROM votes
+        ), chunks AS (
+            SELECT doc_id, simhash, k AS band_idx,
+                   (simhash >> (15 * k)) & 32767 AS chunk
+            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        )
+        SELECT a_doc_id, b_doc_id, hamming FROM cand WHERE hamming <= 3
+    """)(),
     "q35_dedup_groups": D.duckdb_dedup_groups_sql(),
     "q17_text_quality": """
         SELECT doc_id,
@@ -982,4 +1046,5 @@ QUERIES = {
     "q35_dedup_groups": q35_dedup_groups,
     "q36_quality_warnings": q36_quality_warnings,
     "q37_page_scan": q37_page_scan,
+    "q38_simhash_neardup": q38_simhash_neardup,
 }
