@@ -4,7 +4,8 @@ single-node oracle over N deterministic docs, on BOTH physical plans
 
 Usage: python tools/equality_sweep.py [n_docs]     (default 2000)
 
-Last full run (round 1): 2000/2000 docs equal on both plans; status census
+Last full run (round 2, after the Q5 issues/warnings surface + warn-QC
+fixtures): 2000/2000 docs equal on both plans; status census
 completed=1534 partial=284 rejected_classification=120 rejected_quality=62.
 """
 
