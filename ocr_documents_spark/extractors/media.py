@@ -5,9 +5,12 @@ easyocr) plugs in, batch-at-a-time.  In this sandbox no OCR engine exists, so
 a media span's ``media_ref`` carries its own deterministic payload
 (FIXTURES.md §3)::
 
-    m:<doc_id>:<offset>:<b32payload>
+    m:<doc_id>:<offset>:<b64payload>
 
-where ``b32payload`` is base32(zlib(json)) of::
+where ``b64payload`` is base64(zlib(json)) — standard alphabet, no ':'
+so the ref still splits cleanly; CPython's b64decode is C-accelerated
+while b32decode is pure Python and measured 29x slower, 40% of the whole
+extraction pipeline — of::
 
     {"tokens": [[y, x, "token_text", conf], ...],   # unsorted, EasyOCR-like
      "qc": {"w", "h", "blur", "brightness", "contrast", "skew"}}
@@ -43,7 +46,7 @@ _QC_UNREADABLE = {
 def encode_media_ref(doc_id: str, offset: int, tokens: list, qc: dict) -> str:
     """Inverse of :func:`decode_media_ref`; used by the fixture generator."""
     blob = json.dumps({"tokens": tokens, "qc": qc}, separators=(",", ":"))
-    payload = base64.b32encode(zlib.compress(blob.encode("utf-8"))).decode("ascii")
+    payload = base64.b64encode(zlib.compress(blob.encode("utf-8"))).decode("ascii")
     return f"{MEDIA_REF_PREFIX}{doc_id}:{offset}:{payload}"
 
 
@@ -57,7 +60,7 @@ def decode_media_ref(media_ref: str) -> tuple[str, float, dict[str, Any]]:
         time.sleep(_SIM_OCR_MS / 1000.0)
     try:
         payload = media_ref.split(":", 3)[3]
-        blob = zlib.decompress(base64.b32decode(payload))
+        blob = zlib.decompress(base64.b64decode(payload))
         doc = json.loads(blob)
     except Exception:
         return "", 0.0, dict(_QC_UNREADABLE)

@@ -69,7 +69,7 @@ def media_meta(media_ref: pd.Series) -> pd.DataFrame:
         if ref is not None:
             try:
                 payload = ref.split(":", 3)[3]
-                doc = json.loads(zlib.decompress(base64.b32decode(payload)))
+                doc = json.loads(zlib.decompress(base64.b64decode(payload)))
                 qc = doc.get("qc", qc)
                 tokens = doc.get("tokens", [])
             except Exception:

@@ -18,6 +18,23 @@ def _mins(m):
     return T0 + datetime.timedelta(minutes=m)
 
 
+
+def _write_ordered(src):
+    """Parquet writer whose files get strictly increasing mtimes: Spark's
+    file stream source orders by modification time, and sub-second write
+    bursts under load can otherwise tie and reorder "arrival"."""
+    import pyarrow.parquet as pq
+    counter = {"n": 0}
+
+    def wf(name, rows, schema):
+        import pyarrow as pa
+        path = os.path.join(src, name)
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+        counter["n"] += 1
+        t = 1700000000 + counter["n"] * 10
+        os.utime(path, (t, t))
+    return wf
+
 def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     """A >30-min gap closes the session mid-stream (no timeout needed)."""
     src = str(tmp_path / "events")
@@ -25,12 +42,12 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+                        ("value", pa.float64())])
+    _w = _write_ordered(src)
+
     def write_file(name, rows):
-        pq.write_table(pa.Table.from_pylist(
-            rows, schema=pa.schema([("ts", pa.timestamp("us")),
-                                    ("user_id", pa.int64()),
-                                    ("value", pa.float64())])),
-            os.path.join(src, name))
+        _w(name, rows, schema)
 
     # file order == arrival order (maxFilesPerTrigger=1 -> one batch each)
     write_file("f1.parquet", [
@@ -79,9 +96,10 @@ def test_sessionize_stream_late_event_merges(spark, tmp_path):
     schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()),
                         ("value", pa.float64())])
 
+    _w = _write_ordered(src)
+
     def wf(name, rows):
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
-                       os.path.join(src, name))
+        _w(name, rows, schema)
 
     wf("f1.parquet", [
         {"ts": _mins(60), "user_id": 1, "value": 1.0},
@@ -124,9 +142,10 @@ def test_windowed_stats_with_late_data(spark, tmp_path):
     schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()),
                         ("event_type", pa.string()), ("value", pa.float64())])
 
+    _w = _write_ordered(src)
+
     def wf(name, rows):
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
-                       os.path.join(src, name))
+        _w(name, rows, schema)
 
     wf("f1.parquet", [
         {"ts": _mins(10), "user_id": 1, "event_type": "click", "value": 1.0},
@@ -265,9 +284,10 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     schema = pa.schema([("doc_id", pa.string()),
                         ("spans", pa.list_(span_type))])
 
+    _w = _write_ordered(src)
+
     def wf(name, rows):
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
-                       os.path.join(src, name))
+        _w(name, rows, schema)
 
     wf("f1.parquet", docs[:4])
     wf("f2.parquet", docs[2:])  # docs 2,3 re-delivered
