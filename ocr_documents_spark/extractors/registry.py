@@ -148,6 +148,22 @@ FALLBACK_FIELD_PATTERNS: dict[str, dict[str, list[str]]] = {
 COMPLETED_FIELD_FRACTION = 0.3
 CLASSIFY_MIN_CONFIDENCE = 40.0
 
+# The v1 ``GET /api/document-types`` whitelist (backend/main_v1.py:86-96):
+# of the 13 effective types, only these are advertised to clients.
+SUPPORTED_TYPES: tuple[str, ...] = (
+    "PASSPORT", "LABOR_CARD", "RESIDENCE_VISA", "EMIRATES_ID",
+    "HOME_COUNTRY_ID", "VISIT_VISA", "INVOICE", "PURCHASE_ORDER",
+    "COMPANY_LICENSE",
+)
+
+
+def list_document_types() -> list[dict]:
+    """S: the ``/api/document-types`` response — supported types with their
+    expected-field inventories (backend/main_v1.py:82-116)."""
+    return [{"type": t, "n_fields": expected_field_count(t),
+             "fields": list(EXPECTED_FIELDS[t])}
+            for t in SUPPORTED_TYPES]
+
 
 def expected_field_count(document_type: str) -> int:
     return len(EXPECTED_FIELDS.get(document_type, ()))

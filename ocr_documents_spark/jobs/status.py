@@ -60,7 +60,15 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--lake", required=True)
     p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--document-types", action="store_true",
+                   help="print the supported-type inventory "
+                        "(GET /api/document-types analogue) and exit")
     args = p.parse_args(argv)
+    if args.document_types:
+        from ocr_documents_spark.extractors.registry import list_document_types
+        for t in list_document_types():
+            print(f"{t['type']}: {t['n_fields']} fields")
+        return 0
     spark = SparkSession.builder.appName("lake-status").getOrCreate()
     print(summarize(spark, args.lake, args.buckets))
     spark.stop()

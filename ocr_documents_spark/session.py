@@ -14,7 +14,13 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-ARROW_BATCH_ROWS = 4096  # ~2-10k spans per Arrow batch (SURVEY.md §4.2)
+# Arrow batch sizing: rows here are WHOLE DOCUMENTS on the light path
+# (each carrying every media payload), so 4096-row batches ran to ~40-80MB
+# and measurably hurt under memory pressure (18s vs 10s in a loaded
+# window; ~7% slower even in a quiet one).  1024 keeps batches ~10-20MB —
+# large enough to amortize Arrow framing, small enough to pipeline — and
+# bounds heavy-path span batches identically.
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(app_name: str = "ocr-documents-spark",

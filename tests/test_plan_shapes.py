@@ -101,6 +101,34 @@ def test_pipeline_forced_salt_has_exactly_two_shuffles(spark):
     assert exchange_count(run_pipeline(docs, heavy_threshold=16)) == 2
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Co-located join via bucketing (SURVEY §2.7 / the brief's 'bucketing
+    for co-located joins'): two tables bucketed+sorted on the join key must
+    SortMergeJoin with ZERO Exchange — at 100 TB this is the difference
+    between reading two tables and reshuffling both of them."""
+    import pyspark.sql.functions as SF
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10000).select(
+            SF.col("id").alias("doc_id"),
+            (SF.col("id") % 97).alias("x"))
+        b = spark.range(0, 10000).select(
+            SF.col("id").alias("doc_id"),
+            (SF.col("id") % 31).alias("y"))
+        for name, df in (("bk_a", a), ("bk_b", b)):
+            (df.write.bucketBy(8, "doc_id").sortBy("doc_id")
+               .option("path", f"{wh}/{name}")
+               .mode("overwrite").saveAsTable(name))
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "doc_id")
+        assert joined.count() == 10000
+        assert exchange_count(joined) == 0  # co-located: no shuffle at all
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_wholestage_codegen_covers_native_ops(spark, sf_dir):
     """Codegen spans appear in the FINAL adaptive plan (post-execution)."""
     from ocr_documents_spark.queries import QUERIES
