@@ -348,6 +348,44 @@ def q20_doc_fingerprint(spark, sf_dir):
                        F.substring(fp, 1, 2).alias("shard"))
 
 
+# winnowing parameters (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003): token-level
+# polynomial rolling hash over k-grams, minimum kept per window of w
+_WIN_K, _WIN_W, _WIN_B, _WIN_MOD = 4, 5, 31, 1 << 20
+
+
+def q39_winnowed_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting with winnowing: per-position
+    k-gram polynomial hashes (Horner over 20-bit token hashes — exact
+    integer math, identical in both engines), then the minimum of every
+    w-window survives.  Entirely array HOFs per row — ZERO shuffle; the
+    fingerprint rows are what a copy-detection index stores (guarantee:
+    any shared substring of >= w+k-1 tokens shares a fingerprint)."""
+    k, w, b, mod = _WIN_K, _WIN_W, _WIN_B, _WIN_MOD
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", _words_col().alias("words"))
+            .filter(F.size("words") >= k + w - 1)
+            .repartition("doc_id")
+            .select("doc_id",
+                    F.transform("words", lambda x: md5_int60(x) % mod)
+                    .alias("th")))
+
+    def kgram(i):  # Horner fold of th[i .. i+k-1]
+        h = F.element_at(F.col("th"), i + 1)
+        for j in range(1, k):
+            h = h * b + F.element_at(F.col("th"), i + j + 1)
+        return h
+
+    kh = F.transform(F.sequence(F.lit(0), F.size("th") - k), kgram)
+    docs = docs.select("doc_id", kh.alias("kh"))
+    winmin = F.transform(
+        F.sequence(F.lit(1), F.size("kh") - w + 1),
+        lambda j: F.array_min(F.slice("kh", j, w)))
+    return (docs.select("doc_id",
+                        F.explode(F.array_distinct(winmin)).alias("fp"))
+            .select("doc_id", F.col("fp").alias("fingerprint")))
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -857,6 +895,37 @@ ORACLE_SQL: dict[str, str] = {
                    AS shard
         FROM documents
     """,
+    "q39_winnowed_fingerprints": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, word,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM toks WHERE word <> ''
+        ), th AS (
+            SELECT doc_id, p, n,
+                   (({_SIMHASH_TH}) % {_WIN_MOD})::BIGINT AS t
+            FROM tf
+        ), kh AS (
+            SELECT doc_id, p, n,
+                   ((t * {_WIN_B} + lead(t, 1) OVER w) * {_WIN_B}
+                    + lead(t, 2) OVER w) * {_WIN_B} + lead(t, 3) OVER w AS h
+            FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ), khv AS (
+            SELECT * FROM kh WHERE p <= n - {_WIN_K - 1}
+        ), wm AS (
+            SELECT doc_id, p, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WIN_W - 1} FOLLOWING) AS fp
+            FROM khv
+        )
+        SELECT DISTINCT doc_id, fp AS fingerprint
+        FROM wm WHERE p <= n - {_WIN_K - 1} - {_WIN_W - 1}
+    """,
     "q21_knn_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                    FROM embeddings WHERE vec_id < 5),
@@ -1047,4 +1116,5 @@ QUERIES = {
     "q36_quality_warnings": q36_quality_warnings,
     "q37_page_scan": q37_page_scan,
     "q38_simhash_neardup": q38_simhash_neardup,
+    "q39_winnowed_fingerprints": q39_winnowed_fingerprints,
 }

@@ -89,3 +89,33 @@ def test_candidate_plan_joins_on_band_not_ngrams(corpus):
 def test_banding_parameters_validate():
     with pytest.raises(AssertionError):
         D.minhash_signatures(None, n_hashes=10, bands=4)
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """Winnowing invariant (SIGMOD'03): two docs sharing >= w+k-1
+    consecutive tokens share at least one fingerprint; unrelated docs with
+    no common k-gram share none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_documents_spark.queries import (_WIN_K, _WIN_W,
+                                             q39_winnowed_fingerprints)
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 = w+k-1
+    rows = [
+        {"doc_id": 1, "text": "one two three " + shared + " nine ten eleven",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": shared + " zulu yankee xray whiskey victor",
+         "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": ("red green blue cyan magenta yellow black "
+                               "white gray pink"),
+         "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    d = str(tmp_path / "wdocs")
+    import os as _os
+    _os.makedirs(d)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+    fps = {}
+    for r in q39_winnowed_fingerprints(spark, d).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert _WIN_W + _WIN_K - 1 == 8
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
