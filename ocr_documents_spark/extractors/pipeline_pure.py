@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+from .boilerplate import html_to_page_text
 from .classify import classify_enhanced
 from .doc_types import extract_fields
 from .media import decode_media_ref
@@ -53,6 +54,12 @@ def recover_pages(spans: Sequence[Any]) -> List[Dict[str, Any]]:
             text, conf, qc = decode_media_ref(span["media_ref"] or "")
             pages.append({"text": text, "confidence": conf,
                           "media_ref": span["media_ref"], "qc": qc})
+        elif span["kind"] == "html":
+            # DOM-heuristic boilerplate strip (extractors/boilerplate.py);
+            # born-digital confidence, no media_ref, no QC metrics
+            pages.append({"text": html_to_page_text(span["text"] or ""),
+                          "confidence": TEXT_SPAN_CONFIDENCE,
+                          "media_ref": None, "qc": None})
         else:
             pages.append({"text": span["text"] or "",
                           "confidence": TEXT_SPAN_CONFIDENCE,

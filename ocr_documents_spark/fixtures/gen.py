@@ -14,6 +14,7 @@ spans are provably inert for extraction).
 
 from __future__ import annotations
 
+import html as _htmllib
 import random
 from typing import Dict, List, Tuple
 
@@ -402,6 +403,30 @@ def _media_span(doc_id: str, offset: int, lines: List[str], qc: dict,
             "offset": offset}
 
 
+def _html_span(doc_id: str, offset: int, lines: List[str],
+               rng: random.Random) -> dict:
+    """A page chunk republished as a full HTML page: one <p> per printed
+    line inside an <article> (positive container keeps short lines), plus
+    nav/footer chrome the boilerplate stripper must remove.  Recovery
+    (extractors/boilerplate.html_to_page_text) re-joins the lines with
+    newlines, so line-oriented extractors see the text-span layout."""
+    paragraphs = "".join(
+        "<p>" + _htmllib.escape(line) + "</p>" for line in lines)
+    nav = "".join(f'<li><a href="/{w}">{w}</a></li>'
+                  for w in rng.sample(FILLER_WORDS, 3))
+    return {"kind": "html",
+            "text": ("<!DOCTYPE html><html><head>"
+                     f"<title>{doc_id} p{offset}</title>"
+                     "<style>p { margin: 0; }</style>"
+                     "<script>var x = 1 < 2;</script></head><body>"
+                     f'<header class="masthead"><nav><ul>{nav}</ul></nav>'
+                     "</header><!-- chrome ends -->"
+                     f'<article class="doc-body">{paragraphs}</article>'
+                     '<footer><a href="/terms">terms</a></footer>'
+                     "</body></html>"),
+            "media_ref": None, "offset": offset}
+
+
 def make_document(idx: int, seed: int = SEED) -> Dict:
     """One deterministic document row: {doc_id, spans}."""
     rng = random.Random(f"{seed}:{idx}")
@@ -437,9 +462,12 @@ def make_document(idx: int, seed: int = SEED) -> Dict:
     spans, offset = [], 0
     has_media = False
     for chunk in chunks:
-        if rng.random() < 0.45:
+        pick = rng.random()
+        if pick < 0.45:
             spans.append(_media_span(doc_id, offset, chunk, qc, rng))
             has_media = True
+        elif pick < 0.60:
+            spans.append(_html_span(doc_id, offset, chunk, rng))
         else:
             spans.append({"kind": "text", "text": "\n".join(chunk),
                           "media_ref": None, "offset": offset})

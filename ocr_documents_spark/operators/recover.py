@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+from ..extractors.boilerplate import html_to_page_text
 from ..extractors.media import decode_media_ref
 from ..extractors.pipeline_pure import TEXT_SPAN_CONFIDENCE
 
@@ -52,6 +53,9 @@ def recover_span(kind: pd.Series, text: pd.Series, media_ref: pd.Series) -> pd.D
             page_text, conf, _qc = decode_media_ref(refs[i] or "")
             out["text"][i] = page_text
             out["confidence"][i] = conf
+        elif kinds[i] == "html":
+            out["text"][i] = html_to_page_text(texts[i] or "")
+            out["confidence"][i] = TEXT_SPAN_CONFIDENCE
         else:
             out["text"][i] = texts[i] if texts[i] is not None else ""
             out["confidence"][i] = TEXT_SPAN_CONFIDENCE

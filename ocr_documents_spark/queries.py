@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .extractors.boilerplate import CHUNK_WORDS as _BP_CHUNK
+from .extractors.boilerplate import MIN_TAIL_WORDS as _BP_TAIL
 from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select,
                                 md5_int60, simhash_bit_votes,
                                 simhash_from_votes)
@@ -103,6 +105,28 @@ def q37_page_scan(spark, sf_dir):
 
 def q04_point_lookup(spark, sf_dir):
     return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+def q40_main_content(spark, sf_dir):
+    """HTML boilerplate strip / DOM heuristics (extractors/boilerplate.py):
+    every document is wrapped in a deterministic full-page template (nav,
+    adverts, sidebar, comments, scripts, footer — all keyed on doc_id),
+    then the shallow-DOM block classifier recovers the main content.  The
+    oracle invariant is exact: main_text round-trips to the normalized
+    source text, the title matches the template, and both block-census
+    counts reproduce the template arithmetic in pure SQL.  Plan shape:
+    scan -> two Arrow stages -> project, zero shuffle."""
+    from .operators.main_content import main_content_udf, synthesize_page_udf
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        synthesize_page_udf("doc_id", "text", "lang").alias("html"))
+    return (pages.select("doc_id", main_content_udf("html").alias("mc"))
+            .select("doc_id",
+                    F.col("mc.main_text").alias("main_text"),
+                    F.col("mc.title").alias("title"),
+                    F.col("mc.n_blocks").alias("n_blocks"),
+                    F.col("mc.n_content_blocks").alias("n_content_blocks")))
 
 
 def q05_first_event_per_user(spark, sf_dir):
@@ -1071,6 +1095,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM '{_GOLDEN["q36"]}'
         GROUP BY channel, message
     """,
+    # q40: the synthesized page is deterministic, so the oracle needs no
+    # HTML parser — main_text round-trips to the normalized source text
+    # and both block counts reproduce the template arithmetic
+    # (boilerplate.synthesize_page / expected_content_blocks) in SQL
+    "q40_main_content": f"""
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+            FROM documents),
+        b AS (
+            SELECT doc_id, norm,
+                   len(string_split(norm, ' ')) AS nw
+            FROM c),
+        k AS (
+            SELECT doc_id, norm,
+                   CASE WHEN nw <= {_BP_CHUNK} THEN 1
+                        ELSE (nw // {_BP_CHUNK})
+                             + CASE WHEN (nw % {_BP_CHUNK}) >= {_BP_TAIL}
+                                    THEN 1 ELSE 0 END
+                   END AS ncb
+            FROM b)
+        SELECT doc_id, norm AS main_text,
+               'Document ' || CAST(doc_id AS VARCHAR) || ' — Example Site'
+                   AS title,
+               CAST(ncb + 3 + (3 + doc_id % 5) + (2 + doc_id % 4)
+                    + CASE WHEN doc_id % 3 = 0 AND ncb > 1 THEN 1 ELSE 0 END
+                    + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END
+                    AS INTEGER) AS n_blocks,
+               CAST(ncb AS INTEGER) AS n_content_blocks
+        FROM k
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -1117,4 +1172,5 @@ QUERIES = {
     "q37_page_scan": q37_page_scan,
     "q38_simhash_neardup": q38_simhash_neardup,
     "q39_winnowed_fingerprints": q39_winnowed_fingerprints,
+    "q40_main_content": q40_main_content,
 }

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-VALID_KINDS = ("text", "media")
+VALID_KINDS = ("text", "media", "html")
 
 
 def _reject_reason() -> F.Column:
