@@ -129,6 +129,25 @@ def q40_main_content(spark, sf_dir):
                     F.col("mc.n_content_blocks").alias("n_content_blocks")))
 
 
+def q41_layout_reading_order(spark, sf_dir):
+    """PDF/layout parse: recursive XY-cut reading order (operators/
+    layout.py).  Each document's words are scattered natively into a
+    full-width header band plus two staggered columns, the array is
+    REVERSED (so only real geometry — not input order — can restore it),
+    and the Arrow-batched XY-cut must emit the original word sequence.
+    The flat (y, x) sort provably interleaves the columns on every one of
+    these pages (tests/test_layout.py), so the oracle match is a strong
+    check of the segmentation itself.  Zero shuffle."""
+    from .operators.layout import reading_order_udf, scatter_tokens
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.reverse(scatter_tokens(F.col("doc_id"), F.col("text")))
+        .alias("tokens"))
+    ordered = toks.select("doc_id", reading_order_udf("tokens").alias("w"))
+    return ordered.select("doc_id", F.posexplode("w").alias("pos", "word"))
+
+
 def q05_first_event_per_user(spark, sf_dir):
     """First-match-wins merge analogue (O5): row_number over (user, time)."""
     ev = _t(spark, sf_dir, "events")
@@ -1126,6 +1145,16 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ncb AS INTEGER) AS n_content_blocks
         FROM k
     """,
+    # q41: synthesis preserves word order by construction, so the
+    # reading-order oracle is the identity sequence — the Spark side has
+    # to undo the (reversed) two-column scatter to match it
+    "q41_layout_reading_order": """
+        SELECT doc_id,
+               UNNEST(list_transform(range(len(string_split(text, ' '))),
+                                     x -> CAST(x AS INTEGER))) AS pos,
+               UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -1173,4 +1202,5 @@ QUERIES = {
     "q38_simhash_neardup": q38_simhash_neardup,
     "q39_winnowed_fingerprints": q39_winnowed_fingerprints,
     "q40_main_content": q40_main_content,
+    "q41_layout_reading_order": q41_layout_reading_order,
 }
