@@ -82,7 +82,7 @@ def _container_hints(tag: str, attrs: str) -> Tuple[bool, bool]:
     """-> (negative_hint, positive_hint) for an opening element."""
     neg = tag in _HINT_TAGS
     pos = tag in _POSITIVE_TAGS
-    if not (neg and pos):
+    if attrs and not (neg and pos):
         for m in _ATTR_RE.finditer(attrs):
             value = m.group(3) or m.group(4) or m.group(5) or ""
             for token in _CLASS_TOKEN_RE.findall(value.lower()):
@@ -135,8 +135,12 @@ def segment_blocks(raw_html: str) -> List[Block]:
     positive = False
     blocks: List[Block] = []
 
+    open_counts: dict = {}
+
     def flush() -> None:
         nonlocal parts, part_link, hinted, positive
+        if not parts:       # flags are only ever set alongside a part
+            return
         text = " ".join("".join(parts).split())
         if text:
             blocks.append(Block(text, part_link, hinted, positive))
@@ -148,7 +152,9 @@ def segment_blocks(raw_html: str) -> List[Block]:
         if token[0] != "<":
             if in_title:
                 continue
-            text = _html.unescape(token)
+            # unescape only when an entity can exist (the regex scan
+            # inside html.unescape dominates clean-text token cost)
+            text = _html.unescape(token) if "&" in token else token
             if text.strip():
                 parts.append(text)
                 if link_depth:
@@ -175,12 +181,14 @@ def segment_blocks(raw_html: str) -> List[Block]:
             neg, pos = _container_hints(tag, attrs)
             is_link = tag == "a"
             stack.append((tag, neg, pos, is_link))
+            open_counts[tag] = open_counts.get(tag, 0) + 1
             hint_depth += neg
             pos_depth += pos
             link_depth += is_link
-        elif any(entry[0] == tag for entry in stack):
+        elif open_counts.get(tag, 0):
             while stack:
                 popped_tag, was_neg, was_pos, was_link = stack.pop()
+                open_counts[popped_tag] -= 1
                 hint_depth -= was_neg
                 pos_depth -= was_pos
                 link_depth -= was_link
