@@ -25,7 +25,7 @@ HEADLINE_QUERIES = [
     "q01_pricing_summary", "q06_revenue_by_nation", "q08_word_counts",
     "q13_minhash_signatures", "q15_simhash", "q17_text_quality",
     "q21_knn_bruteforce", "q25_sessionization", "q34_ann_ivf",
-    "q35_dedup_groups", "q40_main_content",
+    "q35_dedup_groups", "q40_main_content", "q41_layout_reading_order",
 ]
 
 
