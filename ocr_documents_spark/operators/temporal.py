@@ -1,0 +1,63 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (+ bounded range).
+
+``asof_join`` implements the classic distributed as-of ("most recent
+right-side row at or before each left timestamp, per key") WITHOUT a
+range self-join: tag both sides, union, and take a running
+``last(..., ignorenulls=True)`` over a per-key time-sorted window.  One
+shuffle on the key, one per-partition sort, running state instead of
+buffering — the same sort-merge shape kdb/Flink/QuestDB document for
+their asof implementations, and the plan AQE can re-balance like any
+aggregation.  A broadcast-right range join would be quadratic in hot
+keys; this is linear in rows after the sort.
+
+Right-side ties at the same timestamp are resolved deterministically by
+the largest tiebreak column value (DuckDB's ASOF JOIN leaves equal-key
+ties unspecified, so callers wanting a cross-engine-stable result should
+pre-aggregate the right side to one row per (key, ts) — q42 does).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_IS_LEFT = "__asof_is_left"
+_T = "__asof_t"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              value_cols: Sequence[str]) -> DataFrame:
+    """For every ``left`` row, append the ``value_cols`` of the latest
+    ``right`` row with the same ``on`` key and ``right_ts`` <= ``left_ts``
+    (inclusive; NULLs when no such row exists — left-join semantics).
+    Returns the left columns plus the appended values.
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(on).alias(on), F.col(left_ts).alias(_T),
+        F.lit(1).alias(_IS_LEFT),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols])
+    tagged_right = right.select(
+        F.col(on).alias(on), F.col(right_ts).alias(_T),
+        F.lit(0).alias(_IS_LEFT),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+
+    # right rows sort BEFORE left rows at an equal timestamp, which is
+    # exactly the inclusive <=; the running frame needs no buffering
+    w = (Window.partitionBy(on)
+         .orderBy(_T, _IS_LEFT, *[F.col(f"__r_{c}") for c in value_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = tagged_left.unionByName(tagged_right)
+    for c in value_cols:
+        u = u.withColumn(f"__v_{c}",
+                         F.last(f"__r_{c}", ignorenulls=True).over(w))
+    return (u.filter(F.col(_IS_LEFT) == 1)
+            .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
+                    *[F.col(f"__v_{c}").alias(c) for c in value_cols]))

@@ -148,6 +148,33 @@ def q41_layout_reading_order(spark, sf_dir):
     return ordered.select("doc_id", F.posexplode("w").alias("pos", "word"))
 
 
+def q42_asof_join(spark, sf_dir):
+    """Distributed as-of join (operators/temporal.py): each event is
+    decorated with the customer's most recent order at or before the
+    event date — via union + per-key running last(ignorenulls), ONE
+    shuffle, no range self-join.  Event dates are remapped
+    deterministically into the order era (the raw corpora don't overlap
+    in time); the right side is pre-aggregated to one row per
+    (customer, date) because DuckDB's native ASOF JOIN (the oracle)
+    leaves equal-timestamp ties unspecified."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("custkey"),
+        F.date_add(F.lit("1992-01-01").cast("date"),
+                   (F.col("event_id") % 2400).cast("int")).alias("evt_date"))
+    orders = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_custkey").alias("custkey"),
+                       F.col("o_orderdate").alias("last_orderdate"))
+              .agg(F.max("o_orderkey").alias("last_orderkey")))
+    joined = asof_join(ev, orders, on="custkey",
+                       left_ts="evt_date", right_ts="last_orderdate",
+                       value_cols=["last_orderkey", "last_orderdate"])
+    return joined.select(
+        "event_id", "custkey", "evt_date", "last_orderkey",
+        "last_orderdate",
+        F.datediff("evt_date", "last_orderdate").alias("days_since"))
+
+
 def q05_first_event_per_user(spark, sf_dir):
     """First-match-wins merge analogue (O5): row_number over (user, time)."""
     ev = _t(spark, sf_dir, "events")
@@ -1155,6 +1182,26 @@ ORACLE_SQL: dict[str, str] = {
                UNNEST(string_split(text, ' ')) AS word
         FROM documents
     """,
+    # q42: DuckDB's native ASOF JOIN is the oracle for the union+window
+    # implementation; right side deduped per (customer, date) so the tie
+    # rule is identical in both engines
+    "q42_asof_join": """
+        WITH o AS (
+            SELECT o_custkey AS custkey, o_orderdate AS last_orderdate,
+                   max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1, 2),
+        e AS (
+            SELECT event_id, user_id AS custkey,
+                   DATE '1992-01-01' + CAST(event_id % 2400 AS INTEGER)
+                       AS evt_date
+            FROM events)
+        SELECT e.event_id, e.custkey, e.evt_date,
+               o.last_orderkey, o.last_orderdate,
+               CAST(date_diff('day', o.last_orderdate, e.evt_date)
+                    AS INTEGER) AS days_since
+        FROM e ASOF LEFT JOIN o
+          ON e.custkey = o.custkey AND e.evt_date >= o.last_orderdate
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -1203,4 +1250,5 @@ QUERIES = {
     "q39_winnowed_fingerprints": q39_winnowed_fingerprints,
     "q40_main_content": q40_main_content,
     "q41_layout_reading_order": q41_layout_reading_order,
+    "q42_asof_join": q42_asof_join,
 }

@@ -1,0 +1,104 @@
+"""As-of join operator (operators/temporal.py).
+
+Semantics under test: inclusive <= matching, left-join NULLs before the
+first right row, per-key isolation, deterministic max-tiebreak on
+right-side timestamp ties, and the one-shuffle plan shape.  A hypothesis
+sweep checks the union+window implementation against a brute-force
+per-row reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_documents_spark.operators.temporal import asof_join
+
+
+def _left_df(spark, rows):
+    return spark.createDataFrame(rows, "id int, k int, t int")
+
+
+def _right_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, t int, v int")
+
+
+@pytest.fixture(scope="module")
+def basic(spark):
+    left = _left_df(spark, [(1, 10, 5), (2, 10, 20), (3, 10, 2),
+                            (4, 99, 50)])
+    right = _right_df(spark, [(10, 5, 100), (10, 15, 200), (77, 1, 900)])
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                    value_cols=["v"])
+    return {r["id"]: r["v"] for r in out.collect()}
+
+
+def test_inclusive_match_at_equal_ts(basic):
+    assert basic[1] == 100          # right t=5 matches left t=5 (<=)
+
+
+def test_latest_row_wins(basic):
+    assert basic[2] == 200          # t=20 sees both, takes t=15
+
+
+def test_null_before_first_right_row(basic):
+    assert basic[3] is None         # t=2 precedes every right row
+
+
+def test_keys_do_not_leak(basic):
+    assert basic[4] is None         # key 99 never matches key 10/77
+
+
+def test_right_ties_take_max_tiebreak(spark):
+    left = _left_df(spark, [(1, 7, 10)])
+    right = _right_df(spark, [(7, 10, 3), (7, 10, 9), (7, 10, 6)])
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                    value_cols=["v"]).collect()
+    assert out[0]["v"] == 9
+
+
+def test_single_shuffle_plan(spark):
+    from ocr_documents_spark.plans.inspect import exchange_count
+    left = _left_df(spark, [(1, 1, 1)])
+    right = _right_df(spark, [(1, 1, 1)])
+    df = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                   value_cols=["v"])
+    assert exchange_count(df) == 1      # the window's key partitioning
+
+
+def _brute_force(left_rows, right_rows):
+    exp = {}
+    for lid, lk, lt in left_rows:
+        cands = [(rt, rv) for rk, rt, rv in right_rows
+                 if rk == lk and rt <= lt]
+        exp[lid] = max(cands)[1] if cands else None
+    return exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_matches_brute_force(spark, data):
+    keys = st.integers(min_value=0, max_value=3)
+    ts = st.integers(min_value=0, max_value=30)
+    left = [(i, data.draw(keys), data.draw(ts)) for i in range(12)]
+    # distinct (k, t) on the right so the brute-force tie rule is moot
+    right_kt = data.draw(st.sets(st.tuples(keys, ts), max_size=10))
+    right = [(k, t, 1000 + 31 * k + t) for k, t in right_kt]
+    out = asof_join(_left_df(spark, left), _right_df(spark, right),
+                    on="k", left_ts="t", right_ts="t", value_cols=["v"])
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == _brute_force(left, right)
+
+
+def test_date_typed_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, 5, dt.date(1995, 6, 15))], "id int, k int, d date")
+    right = spark.createDataFrame(
+        [(5, dt.date(1995, 6, 15), 11), (5, dt.date(1995, 6, 16), 22)],
+        "k int, d date, v int")
+    out = asof_join(left, right, on="k", left_ts="d", right_ts="d",
+                    value_cols=["v"]).collect()
+    assert out[0]["v"] == 11
