@@ -61,3 +61,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return (u.filter(F.col(_IS_LEFT) == 1)
             .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
                     *[F.col(f"__v_{c}").alias(c) for c in value_cols]))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               start_col: str, end_col: str, bin_width: int) -> DataFrame:
+    """Point-in-interval join WITHOUT a cross join: bucket the numeric
+    axis into ``bin_width`` bins, replicate each interval into every bin
+    it overlaps (explode of a native sequence), equi-join points to
+    intervals on the bin, then filter exact containment.  Each point
+    lives in exactly one bin, so no post-join dedup is needed; shuffle
+    volume is |points| + |intervals| x (avg interval span / bin_width),
+    versus |points| x |intervals| for the nested-loop plan Spark would
+    otherwise pick for a pure inequality condition.  Pick bin_width near
+    the typical interval length; column names must be disjoint.
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long"))
+    i = intervals.withColumn(
+        "__bin", F.explode(F.sequence(
+            F.floor(F.col(start_col) / F.lit(bin_width)).cast("long"),
+            F.floor(F.col(end_col) / F.lit(bin_width)).cast("long"))))
+    return (p.join(i, on="__bin")
+            .filter((F.col(point_col) >= F.col(start_col))
+                    & (F.col(point_col) <= F.col(end_col)))
+            .drop("__bin"))

@@ -175,6 +175,30 @@ def q42_asof_join(spark, sf_dir):
         F.datediff("evt_date", "last_orderdate").alias("days_since"))
 
 
+def q43_range_join(spark, sf_dir):
+    """Binned range join (operators/temporal.py): events (as day indices)
+    matched to 21-day order-activity windows by pure containment — no
+    equi key.  Intervals are replicated only into the time bins they
+    overlap, so the plan is a hash equi-join on the bin (one shuffle per
+    side) instead of the O(|points| x |intervals|) nested loop a raw
+    inequality join costs; the DuckDB oracle runs the raw inequality
+    join (its IEJoin), checking the binning introduces no gain or loss
+    at the bin edges."""
+    from .operators.temporal import range_join
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 2400).cast("int").alias("day"))
+    windows = (_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 97 == 0)
+               .select(F.col("o_orderkey").alias("window_key"),
+                       F.datediff("o_orderdate", F.lit("1992-01-01"))
+                       .alias("start_day")))
+    windows = windows.withColumn("end_day", F.col("start_day") + 20)
+    return (range_join(ev, windows, point_col="day",
+                       start_col="start_day", end_col="end_day",
+                       bin_width=32)
+            .select("event_id", "day", "window_key", "start_day"))
+
+
 def q05_first_event_per_user(spark, sf_dir):
     """First-match-wins merge analogue (O5): row_number over (user, time)."""
     ev = _t(spark, sf_dir, "events")
@@ -1202,6 +1226,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM e ASOF LEFT JOIN o
           ON e.custkey = o.custkey AND e.evt_date >= o.last_orderdate
     """,
+    # q43: the oracle is the raw inequality join (DuckDB IEJoin); the
+    # Spark side must reproduce it exactly through the bin replication
+    "q43_range_join": """
+        WITH e AS (
+            SELECT event_id, CAST(event_id % 2400 AS INTEGER) AS day
+            FROM events),
+        w AS (
+            SELECT o_orderkey AS window_key,
+                   CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                        AS INTEGER) AS start_day
+            FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT e.event_id, e.day, w.window_key, w.start_day
+        FROM e JOIN w
+          ON e.day BETWEEN w.start_day AND w.start_day + 20
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -1251,4 +1290,5 @@ QUERIES = {
     "q40_main_content": q40_main_content,
     "q41_layout_reading_order": q41_layout_reading_order,
     "q42_asof_join": q42_asof_join,
+    "q43_range_join": q43_range_join,
 }

@@ -93,6 +93,36 @@ def test_matches_brute_force(spark, data):
     assert got == _brute_force(left, right)
 
 
+def test_range_join_matches_cross_filter(spark):
+    from ocr_documents_spark.operators.temporal import range_join
+    points = spark.createDataFrame(
+        [(i, d) for i, d in enumerate([0, 5, 31, 32, 33, 64, 99, 100])],
+        "pid int, x int")
+    ivals = spark.createDataFrame(
+        [(1, 0, 0), (2, 30, 34), (3, 32, 95), (4, 96, 99), (5, 101, 200)],
+        "iid int, lo int, hi int")
+    got = sorted((r["pid"], r["iid"]) for r in range_join(
+        points, ivals, "x", "lo", "hi", bin_width=32).collect())
+    exp = sorted((p, i) for p, x in [(r["pid"], r["x"])
+                                     for r in points.collect()]
+                 for i, lo, hi in [(r["iid"], r["lo"], r["hi"])
+                                   for r in ivals.collect()]
+                 if lo <= x <= hi)
+    assert got == exp
+    assert (0, 1) in got and (6, 4) in got      # bin-edge + zero-length
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    from ocr_documents_spark.operators.temporal import range_join
+    from ocr_documents_spark.plans.inspect import has_cartesian, plan_of
+    points = spark.createDataFrame([(1, 10)], "pid int, x int")
+    ivals = spark.createDataFrame([(1, 0, 20)], "iid int, lo int, hi int")
+    df = range_join(points, ivals, "x", "lo", "hi", bin_width=8)
+    plan = plan_of(df)
+    assert not has_cartesian(df)
+    assert "NestedLoop" not in plan             # equi-join on the bin
+
+
 def test_date_typed_timestamps(spark):
     left = spark.createDataFrame(
         [(1, 5, dt.date(1995, 6, 15))], "id int, k int, d date")
