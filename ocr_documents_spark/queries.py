@@ -199,6 +199,50 @@ def q43_range_join(spark, sf_dir):
             .select("event_id", "day", "window_key", "start_day"))
 
 
+# BM25 (Robertson et al., TREC-3 Okapi): standard k1/b, query terms from
+# the corpus vocabulary
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("table", "scan", "merge")
+
+
+def q44_bm25_topk(spark, sf_dir):
+    """Full-corpus BM25 ranking with ZERO explode: per-row term
+    frequencies via array HOFs (size/filter — codegen), corpus statistics
+    (N, avgdl, per-term document frequencies) in ONE aggregate row that
+    broadcasts back over the scan, score arithmetic native, top-10 by
+    rounded score.  At 100 TB this is two passes over the tokenized
+    column and a scalar broadcast — no per-term shuffle, no posting-list
+    materialization."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("words")))
+    def _match(term):
+        # closure factory: a default-arg lambda would have arity 2 and
+        # pyspark would feed it (element, index)
+        return lambda w: w == F.lit(term)
+
+    docs = docs.select(
+        "doc_id", F.size("words").alias("dl"),
+        *[F.size(F.filter("words", _match(t))).alias(f"tf_{i}")
+          for i, t in enumerate(BM25_TERMS)])
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(BM25_TERMS))])
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5)) + F.lit(1.0))
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + BM25_K1 * (1.0 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl"))
+        score = score + idf * tf * (BM25_K1 + 1.0) / denom
+    return (scored.select("doc_id",
+                          (F.round(score, 4) + 0.0).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10))
+
+
 def q05_first_event_per_user(spark, sf_dir):
     """First-match-wins merge analogue (O5): row_number over (user, time)."""
     ev = _t(spark, sf_dir, "events")
@@ -1241,6 +1285,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM e JOIN w
           ON e.day BETWEEN w.start_day AND w.start_day + 20
     """,
+    # q44: identical BM25 arithmetic in SQL (ln and the k1/b saturation
+    # formula are IEEE-deterministic; the final <=3-term sum is rounded)
+    "q44_bm25_topk": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   {", ".join(
+                       "len(list_filter(string_split(text, ' '), "
+                       f"x -> x = '{t}')) AS tf_{i}"
+                       for i, t in enumerate(BM25_TERMS))}
+            FROM documents),
+        s AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                   {", ".join(
+                       f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                       for i in range(len(BM25_TERMS)))}
+            FROM d)
+        SELECT doc_id,
+               round({" + ".join(
+                   f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+                   f" * tf_{i} * ({BM25_K1} + 1.0)"
+                   f" / (tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+                   f" * dl / avgdl))"
+                   for i in range(len(BM25_TERMS)))}, 4) + 0.0 AS bm25
+        FROM d, s
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -1291,4 +1362,5 @@ QUERIES = {
     "q41_layout_reading_order": q41_layout_reading_order,
     "q42_asof_join": q42_asof_join,
     "q43_range_join": q43_range_join,
+    "q44_bm25_topk": q44_bm25_topk,
 }
