@@ -63,6 +63,77 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                     *[F.col(f"__v_{c}").alias(c) for c in value_cols]))
 
 
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
+                       left_ts: str, right_ts: str,
+                       value_cols: Sequence[str],
+                       bucket_width: int) -> DataFrame:
+    """Skew-resistant as-of join, same semantics as :func:`asof_join`.
+
+    ``asof_join`` sorts ALL of a key's rows in one window partition — a
+    hot key (one customer with 10^8 events) pins a single task.  This
+    variant partitions by ``(key, floor(ts / bucket_width))`` so a hot
+    key spreads across its time buckets, in three bounded stages:
+
+    1. per-(key, bucket) LAST right row — a partial-aggregating groupBy
+       (``max_by`` over the (ts, values) order, matching asof_join's tie
+       rule);
+    2. a bucket-granular as-of of the left's distinct (key, bucket)
+       pairs against those summaries at ``bucket - 1`` (strictly-before
+       buckets), producing each bucket's carry-in seed — this inner
+       as-of runs on rows bounded by time-span/bucket_width, not by row
+       count, so the simple algorithm is safe here;
+    3. the running-last window WITHIN each (key, bucket), seeded by the
+       carry-in where the bucket itself has no earlier right row.
+
+    Timestamps must be numeric (cast dates to epoch days first).  Pick
+    bucket_width so a single (key, bucket) cell fits a task comfortably.
+    """
+    b_left = F.floor(F.col(left_ts) / F.lit(bucket_width)).cast("long")
+    b_right = F.floor(F.col(right_ts) / F.lit(bucket_width)).cast("long")
+    lb = left.withColumn("__b", b_left)
+    rb = right.withColumn("__b", b_right)
+
+    order_key = F.struct(F.col(right_ts),
+                         *[F.col(c) for c in value_cols])
+    summ = rb.groupBy(on, "__b").agg(
+        F.max_by(F.struct(*[F.col(c) for c in value_cols]),
+                 order_key).alias("__vals"))
+
+    lbuckets = (lb.select(on, "__b").distinct()
+                .withColumn("__bprev", F.col("__b") - 1))
+    seeds = asof_join(lbuckets, summ, on=on,
+                      left_ts="__bprev", right_ts="__b",
+                      value_cols=["__vals"]
+                      ).select(on, "__b", F.col("__vals").alias("__seed"))
+
+    lcols = list(left.columns)
+    tagged_left = lb.select(
+        F.col(on), F.col("__b"), F.col(left_ts).alias(_T),
+        F.lit(1).alias(_IS_LEFT),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols])
+    tagged_right = rb.select(
+        F.col(on), F.col("__b"), F.col(right_ts).alias(_T),
+        F.lit(0).alias(_IS_LEFT),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+    w = (Window.partitionBy(on, "__b")
+         .orderBy(_T, _IS_LEFT, *[F.col(f"__r_{c}") for c in value_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = tagged_left.unionByName(tagged_right)
+    for c in value_cols:
+        u = u.withColumn(f"__v_{c}",
+                         F.last(f"__r_{c}", ignorenulls=True).over(w))
+    return (u.filter(F.col(_IS_LEFT) == 1)
+            .join(seeds, on=[on, "__b"], how="left")
+            .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
+                    *[F.coalesce(F.col(f"__v_{c}"),
+                                 F.col("__seed")[c]).alias(c)
+                      for c in value_cols]))
+
+
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
                start_col: str, end_col: str, bin_width: int) -> DataFrame:
     """Point-in-interval join WITHOUT a cross join: bucket the numeric

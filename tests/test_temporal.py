@@ -93,6 +93,46 @@ def test_matches_brute_force(spark, data):
     assert got == _brute_force(left, right)
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.data(), st.sampled_from([1, 2, 7, 100]))
+def test_bucketed_asof_equals_simple(spark, data, width):
+    from ocr_documents_spark.operators.temporal import asof_join_bucketed
+    keys = st.integers(min_value=0, max_value=2)
+    ts = st.integers(min_value=0, max_value=40)
+    left = [(i, data.draw(keys), data.draw(ts)) for i in range(10)]
+    right_kt = data.draw(st.sets(st.tuples(keys, ts), max_size=12))
+    right = [(k, t, 1000 + 41 * k + t) for k, t in right_kt]
+    ldf, rdf = _left_df(spark, left), _right_df(spark, right)
+    simple = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                       value_cols=["v"])
+    bucketed = asof_join_bucketed(ldf, rdf, on="k", left_ts="t",
+                                  right_ts="t", value_cols=["v"],
+                                  bucket_width=width)
+    assert ({r["id"]: r["v"] for r in bucketed.collect()}
+            == {r["id"]: r["v"] for r in simple.collect()})
+
+
+def test_bucketed_asof_hot_key_spreads_partitions(spark):
+    from ocr_documents_spark.operators.temporal import asof_join_bucketed
+    # one key, timestamps spanning many buckets: the final window must
+    # partition on (key, bucket), not key alone
+    left = _left_df(spark, [(i, 1, i * 10) for i in range(40)])
+    right = _right_df(spark, [(1, t, t) for t in range(0, 400, 25)])
+    out = asof_join_bucketed(left, right, on="k", left_ts="t",
+                             right_ts="t", value_cols=["v"],
+                             bucket_width=50)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    exp = _brute_force([(i, 1, i * 10) for i in range(40)],
+                       [(1, t, t) for t in range(0, 400, 25)])
+    assert got == exp
+    # the big row-level Window must partition on (key, bucket): its spec
+    # line names __b (the seed stage's tiny window partitions on key
+    # alone, over bucket-granular rows — that one is allowed)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("__b" in ln for ln in window_lines)
+
+
 def test_range_join_matches_cross_filter(spark):
     from ocr_documents_spark.operators.temporal import range_join
     points = spark.createDataFrame(
