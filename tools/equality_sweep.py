@@ -7,6 +7,10 @@ Usage: python tools/equality_sweep.py [n_docs]     (default 2000)
 Last full run (round 2, after the Q5 issues/warnings surface + warn-QC
 fixtures): 2000/2000 docs equal on both plans; status census
 completed=1534 partial=284 rejected_classification=120 rejected_quality=62.
+Re-run after the html span kind landed (~15% of chunks republished as
+HTML pages, DOM boilerplate strip in recovery): 2000/2000 on both plans
+with the SAME census — the line-preserving strip changes no extraction
+outcome.
 """
 
 from __future__ import annotations
