@@ -250,6 +250,41 @@ def q44_bm25_topk(spark, sf_dir):
             .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10))
 
 
+# GPT-2-style pretokenizer, minus the contraction alternates (corpus has
+# no apostrophes) and lookaheads (RE2, the oracle's engine, lacks them);
+# both engines use leftmost-first alternation so matches agree exactly
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def q45_bpe_pretokenize(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (task brief):
+    space-prefixed letter runs / digit runs / punctuation runs, the GPT-2
+    pretokenizer shape, over the JSON props strings (the only column
+    with mixed punctuation).  Per-row regexp_extract_all (codegen) ->
+    explode -> census."""
+    ev = _t(spark, sf_dir, "events")
+    toks = ev.select(F.explode(
+        F.regexp_extract_all("props", F.lit(BPE_PRETOKEN_RE), 0))
+        .alias("token"))
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(40))
+
+
+def q46_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (CCNet-style corpus
+    down-sampling): within each (lang, source) stratum keep the first 5
+    documents in md5(doc_id) order — a seedless hash makes the sample
+    reproducible on any engine and any partitioning, unlike sampleBy.
+    One shuffle (the stratum window)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= 5)
+            .select("lang", "source", "doc_id", "sample_rank"))
+
+
 def q05_first_event_per_user(spark, sf_dir):
     """First-match-wins merge analogue (O5): row_number over (user, time)."""
     ev = _t(spark, sf_dir, "events")
@@ -1319,6 +1354,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM d, s
         ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """,
+    "q45_bpe_pretokenize": f"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(props,
+                  '{BPE_PRETOKEN_RE}')) AS token
+              FROM events)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 40
+    """,
+    "q46_stratified_sample": """
+        SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS sample_rank
+        FROM (SELECT lang, source, doc_id,
+                     row_number() OVER (
+                         PARTITION BY lang, source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents)
+        WHERE rn <= 5
+    """,
     # q32/q33 intentionally absent: the media decode has no SQL oracle
     # (its strong check is the pytest span-sequence equality suite that
     # rides the same decode); approx_count_distinct sketches are
@@ -1370,4 +1422,6 @@ QUERIES = {
     "q42_asof_join": q42_asof_join,
     "q43_range_join": q43_range_join,
     "q44_bm25_topk": q44_bm25_topk,
+    "q45_bpe_pretokenize": q45_bpe_pretokenize,
+    "q46_stratified_sample": q46_stratified_sample,
 }
