@@ -702,6 +702,8 @@ def q26_hourly_event_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PIPELINE_DOCS = 200
+# q47 frame sampling: 4 uniform frames per media span, 224px letterbox
+_Q47_K, _Q47_TARGET = 4, 224
 
 import os as _os2
 
@@ -758,7 +760,34 @@ def _ensure_golden() -> dict[str, str]:
         ("doc_id", pa.string()), ("channel", pa.string()),
         ("message", pa.string()),
     ])), qual_path)
-    return {"q27": res_path, "q28": fl_path, "q36": qual_path}
+
+    # q47: frame samples + resize geometry from the same pure functions
+    # the Spark mapInPandas stage runs
+    from .functions.multimodal import frame_rows_for_ref
+    frame_rows = []
+    for d in generate_docs(_PIPELINE_DOCS):
+        for s in d["spans"]:
+            if s["kind"] != "media":
+                continue
+            for r in frame_rows_for_ref(s["media_ref"], _Q47_K):
+                w, h = r["w"], r["h"]
+                if w > 0 and h > 0:
+                    long_side = max(w, h)
+                    r["out_w"] = max(1, (w * _Q47_TARGET) // long_side)
+                    r["out_h"] = max(1, (h * _Q47_TARGET) // long_side)
+                else:
+                    r["out_w"] = r["out_h"] = 0
+                frame_rows.append(r)
+    frames_path = _os2.path.join(_GOLDEN_DIR, "q47_frames.parquet")
+    pq.write_table(pa.Table.from_pylist(frame_rows, schema=pa.schema([
+        ("doc_id", pa.string()), ("media_offset", pa.int32()),
+        ("frame_idx", pa.int32()), ("ts_ms", pa.int32()),
+        ("frame_text", pa.string()), ("frame_conf", pa.float64()),
+        ("w", pa.int32()), ("h", pa.int32()),
+        ("out_w", pa.int32()), ("out_h", pa.int32()),
+    ])), frames_path)
+    return {"q27": res_path, "q28": fl_path, "q36": qual_path,
+            "q47": frames_path}
 
 
 _GOLDEN = _ensure_golden()
@@ -870,6 +899,26 @@ def q32_media_features(spark, sf_dir):
                  F.sum("m.n_tokens").alias("n_tokens"),
                  F.min("m.w").alias("min_w"),
                  F.round(F.avg("m.mean_token_conf"), 4).alias("avg_conf")))
+
+
+def q47_frame_samples(spark, sf_dir):
+    """Multimodal frame-sample + resize plumbing (task brief): uniform
+    k-frame sampling per media clip via mapInPandas (row-count-changing),
+    then the aspect-preserving 224px letterbox geometry as native exact
+    integer arithmetic.  Value-checked against the pure oracle's golden
+    parquet — the same decode seam both sides; production swaps
+    cv2.VideoCapture into frame_rows_for_ref."""
+    from .functions.multimodal import resize_dims, sample_frames
+    docs = _synthetic_docs_df(spark)
+    media = (docs.select(F.explode("spans").alias("s"))
+             .filter(F.col("s.kind") == "media")
+             .select(F.col("s.media_ref").alias("media_ref")))
+    frames = sample_frames(media, k=_Q47_K)
+    rz = resize_dims(F.col("w"), F.col("h"), _Q47_TARGET)
+    return frames.select(
+        "doc_id", "media_offset", "frame_idx", "ts_ms", "frame_text",
+        "frame_conf", "w", "h",
+        rz["out_w"].alias("out_w"), rz["out_h"].alias("out_h"))
 
 
 def q34_ann_ivf(spark, sf_dir):
@@ -1251,6 +1300,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM '{_GOLDEN["q36"]}'
         GROUP BY channel, message
     """,
+    "q47_frame_samples": f"""
+        SELECT doc_id, media_offset, frame_idx, ts_ms, frame_text,
+               frame_conf, w, h, out_w, out_h
+        FROM '{_GOLDEN["q47"]}'
+    """,
     # q40: the synthesized page is deterministic, so the oracle needs no
     # HTML parser — main_text round-trips to the normalized source text
     # and both block counts reproduce the template arithmetic
@@ -1424,4 +1478,5 @@ QUERIES = {
     "q44_bm25_topk": q44_bm25_topk,
     "q45_bpe_pretokenize": q45_bpe_pretokenize,
     "q46_stratified_sample": q46_stratified_sample,
+    "q47_frame_samples": q47_frame_samples,
 }
