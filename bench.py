@@ -26,7 +26,8 @@ HEADLINE_QUERIES = [
     "q13_minhash_signatures", "q15_simhash", "q17_text_quality",
     "q21_knn_bruteforce", "q25_sessionization", "q34_ann_ivf",
     "q35_dedup_groups", "q40_main_content", "q41_layout_reading_order",
-    "q42_asof_join", "q44_bm25_topk",
+    "q42_asof_join", "q43_range_join", "q44_bm25_topk",
+    "q45_bpe_pretokenize", "q46_stratified_sample", "q47_frame_samples",
 ]
 
 
