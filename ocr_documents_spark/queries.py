@@ -921,6 +921,74 @@ def q47_frame_samples(spark, sf_dir):
         rz["out_w"].alias("out_w"), rz["out_h"].alias("out_h"))
 
 
+# q48 TF-IDF: sklearn's smooth-idf formula; centroid rounded before use
+# so cross-engine summation order cannot move the cosine
+_TFIDF_ROUND_C, _TFIDF_ROUND_OUT = 6, 4
+
+
+def q48_tfidf_classifier(spark, sf_dir):
+    """The north star's 'rules-plus-TF-IDF' classifier, TF-IDF half, as a
+    pure relational pipeline: train per-lang centroids of smooth-idf
+    TF-IDF vectors on even doc_ids, classify odd doc_ids by nearest
+    centroid (cosine, deterministic tiebreak).  Everything is joins +
+    aggregations — the IDF table and centroids are broadcast-sized
+    (vocabulary x labels), so at 100 TB only the doc-term explode
+    shuffles.  The rules half is the reference-parity enhanced
+    classifier (C2)."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.explode(F.split("text", " "))
+                    .alias("term")))
+    tf = (docs.groupBy("doc_id", "lang", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    train = tf.filter(F.col("doc_id") % 2 == 0)
+    test = tf.filter(F.col("doc_id") % 2 == 1)
+
+    n_train = (train.select("doc_id").distinct()
+               .agg(F.count(F.lit(1)).alias("n_train")))
+    df_t = (train.select("term", "doc_id").distinct()
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    idf = (df_t.crossJoin(F.broadcast(n_train))
+           .select("term",
+                   (F.log((F.col("n_train") + 1.0) / (F.col("df") + 1))
+                    + 1.0).alias("idf")))
+
+    train_w = (train.join(F.broadcast(idf), "term")
+               .withColumn("w", F.col("tf") * F.col("idf")))
+    label_sizes = (train.select("lang", "doc_id").distinct()
+                   .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
+    centroid = (train_w.groupBy("lang", "term")
+                .agg(F.sum("w").alias("sw"))
+                .join(F.broadcast(label_sizes), "lang")
+                .select("lang", "term",
+                        F.round(F.col("sw") / F.col("n_docs"),
+                                _TFIDF_ROUND_C).alias("c")))
+    cnorm = (centroid.groupBy("lang")
+             .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")))
+
+    test_w = (test.join(F.broadcast(idf), "term")
+              .withColumn("w", F.col("tf") * F.col("idf")))
+    dnorm = (test_w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")))
+    dots = (test_w.select("doc_id", "term", "w")
+            .join(F.broadcast(centroid.select(
+                F.col("lang").alias("cand_lang"), "term", "c")), "term")
+            .groupBy("doc_id", "cand_lang")
+            .agg(F.sum(F.col("w") * F.col("c")).alias("dot")))
+    scored = (dots.join(F.broadcast(cnorm.select(
+                  F.col("lang").alias("cand_lang"), "cnorm")), "cand_lang")
+              .join(dnorm, "doc_id")
+              .select("doc_id", "cand_lang",
+                      (F.round(F.col("dot")
+                               / (F.col("dnorm") * F.col("cnorm")),
+                               _TFIDF_ROUND_OUT) + 0.0).alias("cos")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos"),
+                                             F.asc("cand_lang"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("cand_lang").alias("predicted_lang"),
+                    "cos"))
+
+
 def q34_ann_ivf(spark, sf_dir):
     """Trained IVF ANN (operators/ivf.py): a k-means-learned coarse
     quantizer (Lloyd's iterations as DataFrame transforms — no label
@@ -1305,6 +1373,61 @@ ORACLE_SQL: dict[str, str] = {
                frame_conf, w, h, out_w, out_h
         FROM '{_GOLDEN["q47"]}'
     """,
+    # q48: identical TF-IDF arithmetic (smooth idf, rounded centroids,
+    # rounded cosine) as SQL CTEs
+    "q48_tfidf_classifier": f"""
+        WITH tf AS (
+            SELECT doc_id, lang, term, count(*) AS tf
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, lang, term),
+        train AS (SELECT * FROM tf WHERE doc_id % 2 = 0),
+        test  AS (SELECT * FROM tf WHERE doc_id % 2 = 1),
+        nt AS (SELECT count(DISTINCT doc_id) AS n_train FROM train),
+        idf AS (
+            SELECT term, ln((n_train + 1.0) / (df + 1)) + 1.0 AS idf
+            FROM (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM train GROUP BY term), nt),
+        train_w AS (
+            SELECT t.lang, t.term, t.doc_id, t.tf * i.idf AS w
+            FROM train t JOIN idf i USING (term)),
+        sizes AS (
+            SELECT lang, count(DISTINCT doc_id) AS n_docs
+            FROM train GROUP BY lang),
+        centroid AS (
+            SELECT w.lang, w.term,
+                   round(sum(w.w) / any_value(s.n_docs),
+                         {_TFIDF_ROUND_C}) AS c
+            FROM train_w w JOIN sizes s USING (lang)
+            GROUP BY w.lang, w.term),
+        cnorm AS (
+            SELECT lang, sqrt(sum(c * c)) AS cnorm
+            FROM centroid GROUP BY lang),
+        test_w AS (
+            SELECT t.doc_id, t.term, t.tf * i.idf AS w
+            FROM test t JOIN idf i USING (term)),
+        dnorm AS (
+            SELECT doc_id, sqrt(sum(w * w)) AS dnorm
+            FROM test_w GROUP BY doc_id),
+        dots AS (
+            SELECT tw.doc_id, c.lang AS cand_lang, sum(tw.w * c.c) AS dot
+            FROM test_w tw JOIN centroid c USING (term)
+            GROUP BY tw.doc_id, c.lang),
+        scored AS (
+            SELECT d.doc_id, d.cand_lang,
+                   round(d.dot / (dn.dnorm * cn.cnorm),
+                         {_TFIDF_ROUND_OUT}) + 0.0 AS cos
+            FROM dots d
+            JOIN cnorm cn ON cn.lang = d.cand_lang
+            JOIN dnorm dn USING (doc_id))
+        SELECT doc_id, cand_lang AS predicted_lang, cos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY cos DESC, cand_lang ASC) AS rk
+              FROM scored)
+        WHERE rk = 1
+    """,
     # q40: the synthesized page is deterministic, so the oracle needs no
     # HTML parser — main_text round-trips to the normalized source text
     # and both block counts reproduce the template arithmetic
@@ -1479,4 +1602,5 @@ QUERIES = {
     "q45_bpe_pretokenize": q45_bpe_pretokenize,
     "q46_stratified_sample": q46_stratified_sample,
     "q47_frame_samples": q47_frame_samples,
+    "q48_tfidf_classifier": q48_tfidf_classifier,
 }
