@@ -212,14 +212,8 @@ BM25_K1, BM25_B = 1.2, 0.75
 BM25_TERMS = ("table", "scan", "merge")
 
 
-def q44_bm25_topk(spark, sf_dir):
-    """Full-corpus BM25 ranking with ZERO explode: per-row term
-    frequencies via array HOFs (size/filter — codegen), corpus statistics
-    (N, avgdl, per-term document frequencies) in ONE aggregate row that
-    broadcasts back over the scan, score arithmetic native, top-10 by
-    rounded score.  At 100 TB this is two passes over the tokenized
-    column and a scalar broadcast — no per-term shuffle, no posting-list
-    materialization."""
+def _bm25_scored(spark, sf_dir) -> DataFrame:
+    """(doc_id, bm25) for every document — shared by q44 and q49."""
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", F.split("text", " ").alias("words")))
     def _match(term):
@@ -245,9 +239,57 @@ def q44_bm25_topk(spark, sf_dir):
         denom = tf + BM25_K1 * (1.0 - BM25_B
                                 + BM25_B * F.col("dl") / F.col("avgdl"))
         score = score + idf * tf * (BM25_K1 + 1.0) / denom
-    return (scored.select("doc_id",
-                          (F.round(score, 4) + 0.0).alias("bm25"))
+    return scored.select("doc_id", (F.round(score, 4) + 0.0).alias("bm25"))
+
+
+def q44_bm25_topk(spark, sf_dir):
+    """Full-corpus BM25 ranking with ZERO explode: per-row term
+    frequencies via array HOFs (size/filter — codegen), corpus statistics
+    (N, avgdl, per-term document frequencies) in ONE aggregate row that
+    broadcasts back over the scan, score arithmetic native, top-10 by
+    rounded score.  At 100 TB this is two passes over the tokenized
+    column and a scalar broadcast — no per-term shuffle, no posting-list
+    materialization."""
+    return (_bm25_scored(spark, sf_dir)
             .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10))
+
+
+# q49 reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): the
+# standard k=60, query vector = embedding of vec_id 0
+RRF_K = 60
+
+
+def q49_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: fuse the BM25 text ranking (q44's scorer) with a
+    dense-vector ranking (cosine to the vec_id-0 embedding) by reciprocal
+    rank fusion — 1/(k + rank) summed across rankers.  Ranks come from
+    rounded scores with doc_id tiebreaks so both engines rank
+    identically; the fusion is exact rational arithmetic on integer
+    ranks, rounded once at the end.  The doc corpus joins the embedding
+    corpus 1:1 on id — the lake's multimodal join.  The global rank
+    window is a deliberate single-partition sort here (exact ranks for
+    the oracle); at 100 TB each ranker keeps only its top-N per
+    partition first (RRF contributions vanish past rank ~1000), so the
+    global sort sees N x partitions rows, not the corpus."""
+    bm25 = _bm25_scored(spark, sf_dir).filter(F.col("doc_id") != 0)
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"))
+    cand = (emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(F.col("vec_id").alias("doc_id"),
+                    (F.round(cosine("embedding", "q"), 4) + 0.0)
+                    .alias("cos")))
+    wt = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    t_rank = bm25.withColumn("r_text", F.row_number().over(wt))
+    v_rank = cand.withColumn("r_vec", F.row_number().over(wv))
+    fused = (t_rank.join(v_rank, "doc_id")
+             .select("doc_id", "r_text", "r_vec",
+                     (F.round(1.0 / (RRF_K + F.col("r_text"))
+                              + 1.0 / (RRF_K + F.col("r_vec")), 6) + 0.0)
+                     .alias("rrf")))
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
 
 
 # GPT-2-style pretokenizer, minus the contraction alternates (corpus has
@@ -1428,6 +1470,63 @@ ORACLE_SQL: dict[str, str] = {
               FROM scored)
         WHERE rk = 1
     """,
+    # q49: BM25 CTE (q44's arithmetic, unlimited) + cosine ranking to the
+    # vec_id-0 embedding, fused by reciprocal rank — ranks from rounded
+    # scores, fusion exact on integer ranks
+    "q49_hybrid_rrf": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   {", ".join(
+                       "len(list_filter(string_split(text, ' '), "
+                       f"x -> x = '{t}')) AS tf_{i}"
+                       for i, t in enumerate(BM25_TERMS))}
+            FROM documents WHERE doc_id <> 0),
+        -- corpus stats over ALL docs (the Spark side filters doc 0 only
+        -- AFTER scoring, so its stats include it)
+        sfull AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                   {", ".join(
+                       f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                       for i in range(len(BM25_TERMS)))}
+            FROM (SELECT len(string_split(text, ' ')) AS dl,
+                         {", ".join(
+                             "len(list_filter(string_split(text, ' '), "
+                             f"x -> x = '{t}')) AS tf_{i}"
+                             for i, t in enumerate(BM25_TERMS))}
+                  FROM documents)),
+        bm AS (
+            SELECT doc_id,
+                   round({" + ".join(
+                       f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+                       f" * tf_{i} * ({BM25_K1} + 1.0)"
+                       f" / (tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+                       f" * dl / avgdl))"
+                       for i in range(len(BM25_TERMS)))}, 4) + 0.0 AS bm25
+            FROM d, sfull),
+        t_rank AS (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                       AS r_text
+            FROM bm),
+        qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        v_rank AS (
+            SELECT doc_id, cos,
+                   row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+                       AS r_vec
+            FROM (SELECT vec_id AS doc_id,
+                         round(list_dot_product(embedding, q)
+                               / (sqrt(list_dot_product(embedding,
+                                                        embedding))
+                                  * sqrt(list_dot_product(q, q))), 4)
+                             + 0.0 AS cos
+                  FROM embeddings, qv WHERE vec_id <> 0))
+        SELECT t.doc_id, t.r_text, v.r_vec,
+               round(1.0 / ({RRF_K} + t.r_text)
+                     + 1.0 / ({RRF_K} + v.r_vec), 6) + 0.0 AS rrf
+        FROM t_rank t JOIN v_rank v USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
     # q40: the synthesized page is deterministic, so the oracle needs no
     # HTML parser — main_text round-trips to the normalized source text
     # and both block counts reproduce the template arithmetic
@@ -1603,4 +1702,5 @@ QUERIES = {
     "q46_stratified_sample": q46_stratified_sample,
     "q47_frame_samples": q47_frame_samples,
     "q48_tfidf_classifier": q48_tfidf_classifier,
+    "q49_hybrid_rrf": q49_hybrid_rrf,
 }
