@@ -259,6 +259,21 @@ def q44_bm25_topk(spark, sf_dir):
 RRF_K = 60
 
 
+def q50_exact_percentiles(spark, sf_dir):
+    """Exact quantiles per group (the exact twin of q33's sketches):
+    Spark's percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so the values agree bit-for-bit after
+    rounding.  Exact percentiles need the group's values together — one
+    shuffle, partial-aggregated; at 100 TB you'd reach for the q33
+    sketch unless exactness is contractual (SLA p99s are)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[(F.round(F.percentile("value", F.lit(p)), 4) + 0.0)
+                   .alias(f"p{int(p * 100):02d}")
+                   for p in (0.5, 0.9, 0.99)]))
+
+
 def q49_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: fuse the BM25 text ranking (q44's scorer) with a
     dense-vector ranking (cosine to the vec_id-0 embedding) by reciprocal
@@ -1527,6 +1542,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM t_rank t JOIN v_rank v USING (doc_id)
         ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """,
+    "q50_exact_percentiles": """
+        SELECT event_type, count(*) AS n,
+               round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+               round(quantile_cont(value, 0.9), 4) + 0.0 AS p90,
+               round(quantile_cont(value, 0.99), 4) + 0.0 AS p99
+        FROM events GROUP BY event_type
+    """,
     # q40: the synthesized page is deterministic, so the oracle needs no
     # HTML parser — main_text round-trips to the normalized source text
     # and both block counts reproduce the template arithmetic
@@ -1703,4 +1725,5 @@ QUERIES = {
     "q47_frame_samples": q47_frame_samples,
     "q48_tfidf_classifier": q48_tfidf_classifier,
     "q49_hybrid_rrf": q49_hybrid_rrf,
+    "q50_exact_percentiles": q50_exact_percentiles,
 }
