@@ -259,6 +259,48 @@ def q44_bm25_topk(spark, sf_dir):
 RRF_K = 60
 
 
+def q51_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): each
+    stage's timestamp is the earliest event STRICTLY AFTER the previous
+    stage — three stage aggregates chained by co-partitioned joins on
+    user_id (one shuffle key throughout, so AQE plans them as one
+    exchange-reusing pipeline).  NULLs mark where a user dropped out."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter(F.col("ts") > F.col("t_view"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter(F.col("ts") > F.col("t_click"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase"))
+
+
+def q52_revenue_rollup(spark, sf_dir):
+    """ROLLUP over (nation, order year): every subtotal level in one
+    pass (Spark expands grouping sets inside a single partial-aggregating
+    hash agg — not one scan per level).  Roll-up markers are made
+    explicit ('ALL' / -1) so the oracle comparison never conflates a
+    subtotal NULL with a data NULL."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .select("n_name", F.year("o_orderdate").alias("yr"),
+                    "o_totalprice"))
+    return (base.rollup("n_name", "yr")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    F.coalesce("yr", F.lit(-1)).alias("yr"),
+                    "revenue", "n_orders"))
+
+
 def q50_exact_percentiles(spark, sf_dir):
     """Exact quantiles per group (the exact twin of q33's sketches):
     Spark's percentile() and DuckDB's quantile_cont share the linear-
@@ -1542,6 +1584,34 @@ ORACLE_SQL: dict[str, str] = {
         FROM t_rank t JOIN v_rank v USING (doc_id)
         ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """,
+    "q51_funnel": """
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.t_view
+            GROUP BY e.user_id),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+            GROUP BY e.user_id)
+        SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+    "q52_revenue_rollup": """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(yr, -1) AS yr,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM (SELECT n.n_name, year(o.o_orderdate) AS yr, o.o_totalprice
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        GROUP BY ROLLUP(n_name, yr)
+    """,
     "q50_exact_percentiles": """
         SELECT event_type, count(*) AS n,
                round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
@@ -1726,4 +1796,6 @@ QUERIES = {
     "q48_tfidf_classifier": q48_tfidf_classifier,
     "q49_hybrid_rrf": q49_hybrid_rrf,
     "q50_exact_percentiles": q50_exact_percentiles,
+    "q51_funnel": q51_funnel,
+    "q52_revenue_rollup": q52_revenue_rollup,
 }
