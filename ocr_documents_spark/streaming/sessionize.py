@@ -143,6 +143,20 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
                     "event_type", "n", "total_value"))
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: decorate a streaming relation with
+    a static dimension (user profile, document-type registry).  Spark
+    re-resolves the static side at every micro-batch, so a dim that
+    lives in the lake picks up updates between batches; the explicit
+    broadcast keeps the stream side shuffle-free — the only join shape
+    that is safe at 10^12 events/day (a shuffled stream-static join
+    would re-partition every micro-batch).  Left join: events without a
+    dim row flow through with NULLs instead of silently dropping."""
+    from pyspark.sql import functions as F
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_ingest(docs: DataFrame, within: str = "30 minutes",
                  key: str = "doc_id") -> DataFrame:
     """Streaming dedup for at-least-once upstream producers: drop repeated

@@ -35,6 +35,39 @@ def _write_ordered(src):
         os.utime(path, (t, t))
     return wf
 
+def test_enrich_stream_with_static_dim(spark, tmp_path):
+    """Stream-static broadcast enrichment: dim columns ride along, users
+    without a dim row pass through with NULLs (left join)."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    import pyarrow as pa
+    schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+                        ("value", pa.float64())])
+    _w = _write_ordered(src)
+    _w("f1.parquet", [
+        {"ts": _mins(0), "user_id": 1, "value": 2.0},
+        {"ts": _mins(1), "user_id": 2, "value": 3.0},
+        {"ts": _mins(2), "user_id": 9, "value": 4.0},   # no dim row
+    ], schema)
+
+    from ocr_documents_spark.streaming.sessionize import enrich_stream
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string")
+    events = (spark.readStream
+              .schema("ts timestamp, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (enrich_stream(events, dim, on="user_id")
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(600), "stream did not finish"
+
+    rows = {(r["user_id"], r["tier"], r["value"])
+            for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {(1, "gold", 2.0), (2, "basic", 3.0), (9, None, 4.0)}
+
+
 def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     """A >30-min gap closes the session mid-stream (no timeout needed)."""
     src = str(tmp_path / "events")
