@@ -126,6 +126,38 @@ def test_page_title_extraction():
     assert page_title("<body><p>x</p></body>") is None
 
 
+_SOUP_TOKENS = st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<span>",
+    "</span>", "<nav>", "</nav>", "<article>", "</article>", "<br>",
+    "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+    "<p", ">", "<", "&amp;", "&bogus;", "&#65;", "words here",
+    "secretpayload", "\n", "  ", '<div class="ad">', "</table>",
+    "<TITLE>", "</TITLE>", "<![CDATA[", "]]>",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_SOUP_TOKENS, max_size=40))
+def test_tag_soup_never_crashes_or_leaks_script(tokens):
+    """Adversarial tag soup: arbitrary interleavings of tags, malformed
+    fragments, entities, and raw-text regions must never raise, and text
+    opened inside a <script>/<style> that is properly CLOSED must never
+    reach main_text."""
+    html = "".join(tokens)
+    r = extract_main_content(html)        # must not raise
+    assert isinstance(r["main_text"], str)
+    assert 0.0 <= r["boilerplate_ratio"] <= 1.0
+    assert r["n_content_blocks"] + r["n_boilerplate_blocks"] == r["n_blocks"]
+    if "<script>" in html and "</script>" in html:
+        start = html.index("<script>") + len("<script>")
+        end = html.find("</script>", start)
+        if end > start:
+            inner = html[start:end]
+            if "secretpayload" in inner and "secretpayload" not in (
+                    html[:start] + html[end:]):
+                assert "secretpayload" not in r["main_text"]
+
+
 def test_fixture_html_span_recovers_chunk_lines():
     from ocr_documents_spark.fixtures.gen import _html_span
     import random

@@ -152,6 +152,26 @@ def test_range_join_matches_cross_filter(spark):
     assert (0, 1) in got and (6, 4) in got      # bin-edge + zero-length
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.data(), st.sampled_from([1, 3, 32, 1000]))
+def test_range_join_random_matches_cross_filter(spark, data, width):
+    from ocr_documents_spark.operators.temporal import range_join
+    coords = st.integers(min_value=-50, max_value=120)
+    pts = [(i, data.draw(coords)) for i in range(8)]
+    ivs = []
+    for i in range(data.draw(st.integers(min_value=0, max_value=6))):
+        a, b = sorted((data.draw(coords), data.draw(coords)))
+        ivs.append((i, a, b))
+    points = spark.createDataFrame(pts, "pid int, x int")
+    ivals = spark.createDataFrame(ivs or [(0, 1, 0)],
+                                  "iid int, lo int, hi int")
+    got = sorted((r["pid"], r["iid"]) for r in range_join(
+        points, ivals, "x", "lo", "hi", bin_width=width).collect())
+    exp = sorted((p, i) for p, x in pts for i, lo, hi in
+                 (ivs or [(0, 1, 0)]) if lo <= x <= hi)
+    assert got == exp
+
+
 def test_range_join_plan_is_equi_not_nested_loop(spark):
     from ocr_documents_spark.operators.temporal import range_join
     from ocr_documents_spark.plans.inspect import has_cartesian, plan_of
