@@ -1037,8 +1037,13 @@ def q48_tfidf_classifier(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", "lang", F.explode(F.split("text", " "))
                     .alias("term")))
+    # six downstream branches (idf, df, label sizes, train/test vectors)
+    # read this doc-term table; persisting it makes the corpus scan
+    # happen ONCE (at 10^12 docs you would write it to the lake instead
+    # — same shape, durable)
     tf = (docs.groupBy("doc_id", "lang", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
     train = tf.filter(F.col("doc_id") % 2 == 0)
     test = tf.filter(F.col("doc_id") % 2 == 1)
 
