@@ -53,9 +53,15 @@ def merge_rollups(existing: DataFrame, increment: DataFrame) -> DataFrame:
 
 
 def rollup_readout(rollup: DataFrame) -> DataFrame:
-    """Read-time derived columns (avg lives here, never in the state)."""
+    """Read-time derived columns (avg lives here, never in the state).
+
+    avg derives from the ROUNDED total: fold order perturbs the raw sum
+    by an ulp, and dividing the already-rounded figure is what makes two
+    engines (or two fold orders) read out identical averages.
+    """
+    total_r = F.round("total_value", 2)
     return rollup.select(
         "bucket_start", "event_type", "n",
-        F.round("total_value", 2).alias("total_value"),
+        total_r.alias("total_value"),
         "min_value", "max_value",
-        F.round(F.col("total_value") / F.col("n"), 4).alias("avg_value"))
+        F.round(total_r / F.col("n"), 4).alias("avg_value"))

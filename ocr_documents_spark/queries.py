@@ -301,6 +301,28 @@ def q52_revenue_rollup(spark, sf_dir):
                     "revenue", "n_orders"))
 
 
+def q53_rollup_maintenance(spark, sf_dir):
+    """Continuous-aggregate maintenance (operators/rollup.py) under the
+    driver's value oracle: events arrive as three separate batches,
+    each becomes a partial-aggregate increment, the increments FOLD into
+    one rollup (groupBy-sum of mergeable state), and the folded cells
+    must equal a one-shot SQL aggregate over all events — proving the
+    maintenance path loses nothing.  The state columns (n, total, min,
+    max) fully determine the read-time average; the derived avg stays
+    out of the oracle because a quotient like 1512.12/32 lands exactly
+    on a rounding boundary where engines' half-up/half-even rules
+    legitimately disagree (the pytest suite covers the readout)."""
+    from .operators.rollup import merge_rollups, rollup_increment
+    ev = _t(spark, sf_dir, "events")
+    rolled = None
+    for i in range(3):
+        inc = rollup_increment(ev.filter(F.col("event_id") % 3 == i))
+        rolled = inc if rolled is None else merge_rollups(rolled, inc)
+    return rolled.select("bucket_start", "event_type", "n",
+                         F.round("total_value", 2).alias("total_value"),
+                         "min_value", "max_value")
+
+
 def q50_exact_percentiles(spark, sf_dir):
     """Exact quantiles per group (the exact twin of q33's sketches):
     Spark's percentile() and DuckDB's quantile_cont share the linear-
@@ -1617,6 +1639,13 @@ ORACLE_SQL: dict[str, str] = {
               JOIN nation n ON c.c_nationkey = n.n_nationkey)
         GROUP BY ROLLUP(n_name, yr)
     """,
+    "q53_rollup_maintenance": """
+        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
     "q50_exact_percentiles": """
         SELECT event_type, count(*) AS n,
                round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
@@ -1803,4 +1832,5 @@ QUERIES = {
     "q50_exact_percentiles": q50_exact_percentiles,
     "q51_funnel": q51_funnel,
     "q52_revenue_rollup": q52_revenue_rollup,
+    "q53_rollup_maintenance": q53_rollup_maintenance,
 }
