@@ -28,7 +28,7 @@ HEADLINE_QUERIES = [
     "q35_dedup_groups", "q40_main_content", "q41_layout_reading_order",
     "q42_asof_join", "q43_range_join", "q44_bm25_topk",
     "q45_bpe_pretokenize", "q46_stratified_sample", "q47_frame_samples",
-    "q48_tfidf_classifier",
+    "q48_tfidf_classifier", "q53_rollup_maintenance",
 ]
 
 

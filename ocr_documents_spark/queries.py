@@ -1060,12 +1060,13 @@ def q48_tfidf_classifier(spark, sf_dir):
             .select("doc_id", "lang", F.explode(F.split("text", " "))
                     .alias("term")))
     # six downstream branches (idf, df, label sizes, train/test vectors)
-    # read this doc-term table; persisting it makes the corpus scan
-    # happen ONCE (at 10^12 docs you would write it to the lake instead
-    # — same shape, durable)
+    # re-derive this doc-term table; at 10^12 docs you would materialize
+    # it to the lake once and read it back (same shape, durable).
+    # Deliberately NOT .persist()ed here: at driver-suite scale cache
+    # materialization measured 3x slower than the re-derivations, and a
+    # query-owned persist can never be unpersisted by its caller.
     tf = (docs.groupBy("doc_id", "lang", "term")
-          .agg(F.count(F.lit(1)).alias("tf"))
-          .persist())
+          .agg(F.count(F.lit(1)).alias("tf")))
     train = tf.filter(F.col("doc_id") % 2 == 0)
     test = tf.filter(F.col("doc_id") % 2 == 1)
 
