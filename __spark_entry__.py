@@ -46,5 +46,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_documents_spark.queries import ORACLE_SQL
+    from ocr_documents_spark.queries import ORACLE_SQL, ensure_golden
+    ensure_golden()  # golden-parquet oracles materialize lazily+atomically
     return dict(ORACLE_SQL)

@@ -144,40 +144,46 @@ def resize_dims(w: Column, h: Column, target: int) -> Column:
         F.when(zero, F.lit(0)).otherwise(out_h).alias("out_h"))
 
 
-@pandas_udf(MEDIA_META_TYPE)
-def media_meta(media_ref: pd.Series) -> pd.DataFrame:
-    """Per-media typed metadata (dimensions, quality metrics, token census).
-
-    Arrow-batched; one decode per ref.  Unreadable payloads yield the
-    all-zero QC row (fails every downstream gate) rather than erroring the
-    task — corrupt objects must not kill a 10^12-doc job.
-    """
+def media_meta_for_ref(ref) -> dict:
+    """Pure per-ref metadata decode — the single implementation behind the
+    :func:`media_meta` Arrow UDF AND the q32 golden-parquet oracle, so both
+    sides of the driver's value check ride identical arithmetic.
+    Unreadable payloads yield the all-zero QC row (fails every downstream
+    gate) rather than raising — corrupt objects must not kill a 10^12-doc
+    job."""
     import json
     import base64
     import zlib
 
     from ocr_documents_spark.extractors.media import _QC_UNREADABLE
 
-    cols = {k: [] for k in ("w", "h", "blur", "brightness", "contrast",
-                            "skew", "n_tokens", "mean_token_conf")}
-    for ref in media_ref.to_numpy():
-        qc, tokens = dict(_QC_UNREADABLE), []
-        if ref is not None:
-            try:
-                payload = ref.split(":", 3)[3]
-                doc = json.loads(zlib.decompress(base64.b64decode(payload)))
-                qc = doc.get("qc", qc)
-                tokens = doc.get("tokens", [])
-            except Exception:
-                pass
-        cols["w"].append(int(qc.get("w", 0)))
-        cols["h"].append(int(qc.get("h", 0)))
-        cols["blur"].append(float(qc.get("blur", 0.0)))
-        cols["brightness"].append(float(qc.get("brightness", 0.0)))
-        cols["contrast"].append(float(qc.get("contrast", 0.0)))
-        cols["skew"].append(float(qc.get("skew", 0.0)))
-        cols["n_tokens"].append(len(tokens))
-        confs = [float(t[3]) for t in tokens]
-        cols["mean_token_conf"].append(
-            round(sum(confs) / len(confs), 6) if confs else 0.0)
-    return pd.DataFrame(cols)
+    qc, tokens = dict(_QC_UNREADABLE), []
+    if ref is not None:
+        try:
+            payload = ref.split(":", 3)[3]
+            doc = json.loads(zlib.decompress(base64.b64decode(payload)))
+            qc = doc.get("qc", qc)
+            tokens = doc.get("tokens", [])
+        except Exception:
+            pass
+    confs = [float(t[3]) for t in tokens]
+    return {
+        "w": int(qc.get("w", 0)), "h": int(qc.get("h", 0)),
+        "blur": float(qc.get("blur", 0.0)),
+        "brightness": float(qc.get("brightness", 0.0)),
+        "contrast": float(qc.get("contrast", 0.0)),
+        "skew": float(qc.get("skew", 0.0)),
+        "n_tokens": len(tokens),
+        "mean_token_conf":
+            round(sum(confs) / len(confs), 6) if confs else 0.0,
+    }
+
+
+@pandas_udf(MEDIA_META_TYPE)
+def media_meta(media_ref: pd.Series) -> pd.DataFrame:
+    """Per-media typed metadata (dimensions, quality metrics, token census).
+
+    Arrow-batched; one decode per ref (media_meta_for_ref).
+    """
+    rows = [media_meta_for_ref(ref) for ref in media_ref.to_numpy()]
+    return pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_TYPE])

@@ -67,12 +67,18 @@ class Lake:
 
 
 def completed_buckets(spark: SparkSession, lake: Lake) -> List[int]:
-    """Buckets already checkpointed (any prior run)."""
+    """Buckets already checkpointed (any prior run).
+
+    'No checkpoint table yet' is detected with an explicit existence check,
+    not a broad except: a transient read failure (corrupt footer, perms, FS
+    hiccup) must PROPAGATE — treating it as 'nothing completed' would
+    re-drive every bucket and, worse, the same pattern in compact_stream
+    could drop rows.
+    """
     path = lake.path(CHECKPOINTS)
-    try:
-        rows = spark.read.parquet(path).select("bucket").distinct().collect()
-    except Exception:  # first run: no checkpoint table yet
+    if not _path_exists(spark, path):
         return []
+    rows = spark.read.parquet(path).select("bucket").distinct().collect()
     return sorted(r["bucket"] for r in rows)
 
 
@@ -193,6 +199,16 @@ def _delete_partition_dir(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop FileSystem existence probe — the deliberate alternative to a
+    bare ``except Exception`` around a read: only a genuinely-absent table
+    is 'not there'; every other failure mode stays fatal."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def delete_document(spark: SparkSession, lake: Lake, doc_id: str) -> None:
     """S8 delete + cascade (backend/main_v1.py:328-346): row-level delete
     via rewrite of the single bucket holding the doc (Iceberg path:
@@ -225,10 +241,12 @@ def compact_stream(spark: SparkSession, lake: Lake) -> dict:
     after the main write but before the stream clear re-merges the same
     rows (the anti-join prevents duplicates).
     """
-    try:
-        stream = spark.read.parquet(lake.path(STREAM_RESULTS))
-    except Exception:
+    # explicit existence check, NOT a broad except: a transient read error
+    # here must propagate — if it were swallowed as 'nothing staged' the
+    # caller would believe compaction succeeded with zero docs
+    if not _path_exists(spark, lake.path(STREAM_RESULTS)):
         return {"docs": 0, "buckets": 0}
+    stream = spark.read.parquet(lake.path(STREAM_RESULTS))
     latest_batch = (stream.groupBy("doc_id")
                     .agg(F.max("ingest_batch").alias("ingest_batch")))
 
@@ -241,13 +259,18 @@ def compact_stream(spark: SparkSession, lake: Lake) -> dict:
         sdf = (spark.read.parquet(lake.path(stream_table))
                .join(latest_batch, ["doc_id", "ingest_batch"])
                .drop("ingest_batch"))
-        try:
+        # pure-streaming lake (no main table yet) is the ONLY case where the
+        # stream becomes the whole partition content; a failed read of an
+        # EXISTING main table must abort — merging without it would
+        # dynamically overwrite the touched buckets with only streamed docs,
+        # silently dropping every other main-table row in them
+        if _path_exists(spark, lake.path(table)):
             main = (spark.read.parquet(lake.path(table))
                     .filter(F.col("bucket").isin(buckets)))
             merged = (main.join(latest_batch.select("doc_id"),
                                 "doc_id", "left_anti")
                       .unionByName(sdf))
-        except Exception:  # pure-streaming lake: no main table yet
+        else:
             merged = sdf
         write_bucketed(merged, lake, table)
 

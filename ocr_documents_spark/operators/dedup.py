@@ -180,13 +180,25 @@ def verified_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
             .select("a_doc_id", "b_doc_id", "jaccard"))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         telemetry: dict | None = None) -> DataFrame:
     """Undirected edges(a_doc_id, b_doc_id) -> (doc_id, component) where
     component = min doc_id reachable.  Iterative min-label propagation;
     each round shuffles only the edge set + labels (tiny next to the
     corpus), localCheckpoint()ed so lineage stays flat.  Terminates when a
     round changes nothing (<= cluster diameter rounds; near-dup clusters
-    are shallow)."""
+    are shallow).
+
+    Convergence is detected by COUNTING changed labels per round
+    (``nmin < label``), which works for any orderable id type — the r2
+    label-sum fixpoint was numeric-only: with string doc ids sum() is
+    NULL, NULL == NULL exits after one round, and multi-hop chains get
+    silently wrong components.  If ``max_iter`` rounds pass without a
+    fixpoint (a cluster deeper than max_iter), a RuntimeWarning is raised
+    and ``telemetry`` (when supplied) records
+    ``{'iterations': n, 'converged': bool, 'last_changed': n_rows}`` so a
+    deep-cluster corpus can never mislabel invisibly.
+    """
     # materialize the edge list FIRST: the symmetrizing union consumes it
     # twice, and a caller-supplied edges DAG (e.g. the full verify pipeline)
     # must not re-execute per branch
@@ -199,40 +211,53 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (sym.select("src").distinct()
               .withColumn("label", F.col("src"))
               .localCheckpoint())
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    converged, iterations, n_changed = False, 0, -1
+    for i in range(max_iter):
         neighbor_min = (sym.join(labels.select(F.col("src").alias("dst"),
                                                F.col("label").alias("nlabel")),
                                  "dst")
                         .groupBy("src").agg(F.min("nlabel").alias("nmin")))
-        labels = (labels.join(neighbor_min, "src", "left")
-                  .select("src",
-                          F.least("label", F.coalesce("nmin", "label"))
-                          .alias("label"))
-                  .localCheckpoint())
-        # labels can only DECREASE under min-propagation, so the label sum
-        # is strictly monotone: one cheap agg detects the fixpoint instead
-        # of a per-iteration join-and-compare
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
+        joined = labels.join(neighbor_min, "src", "left").localCheckpoint()
+        # one cheap action per round (same cost class as the r2 sum-agg),
+        # but type-independent: count rows whose label would still shrink
+        n_changed = joined.filter(F.col("nmin") < F.col("label")).count()
+        iterations = i + 1
+        if n_changed == 0:
+            converged = True
+            labels = joined.select("src", "label")
             break
-        prev_sum = new_sum
+        labels = (joined.select("src",
+                                F.least("label", F.coalesce("nmin", "label"))
+                                .alias("label"))
+                  .localCheckpoint())
+    if telemetry is not None:
+        telemetry.update(iterations=iterations, converged=converged,
+                         last_changed=int(n_changed))
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components stopped at max_iter={max_iter} with "
+            f"{n_changed} labels still changing — components are NOT final "
+            "(cluster diameter exceeds max_iter); raise max_iter",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("component"))
 
 
 def dedup_groups(docs: DataFrame, n_hashes: int = N_HASHES,
                  bands: int = BANDS, shingle_n: int = SHINGLE_N,
-                 threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+                 threshold: float = JACCARD_THRESHOLD,
+                 cc_telemetry: dict | None = None) -> DataFrame:
     """The deliverable: every document labeled with its near-dup group.
 
     -> (doc_id, group_id, group_size, is_canonical) over ALL input docs;
     group_id = min doc_id of the connected near-dup component (singleton
     docs are their own group), is_canonical marks the doc a dedup pass
     KEEPS (the rest carry the drop decision + provenance).
+    ``cc_telemetry`` forwards to :func:`connected_components`.
     """
     edges = verified_pairs(docs, n_hashes, bands, shingle_n, threshold)
-    comp = connected_components(edges)
+    comp = connected_components(edges, telemetry=cc_telemetry)
     labeled = (docs.select("doc_id")
                .join(comp, "doc_id", "left")
                .withColumn("group_id", F.coalesce("component", "doc_id"))

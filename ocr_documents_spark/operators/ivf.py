@@ -22,12 +22,13 @@ tie-break, cosines to 4 before the final rank (the r1 ADVICE flagged the
 unrounded assignment cosine as a cross-engine ulp flip risk).  The DuckDB
 builders below unroll the same iterations in SQL.
 
-Scale notes: training runs over the corpus here (small SF tiers); a
-production 10^12-vector run trains on a deterministic sample and
-broadcast-joins the k×dim codebook everywhere it is used — exactly the
-shape below (centroids ride F.broadcast).  nprobe trades recall for scan
-fraction; recall@k vs the brute-force baseline (queries.q21) is reported
-by bench.py.
+Scale notes: Lloyd's trains on a deterministic md5 hash-sample of the
+corpus (``sample_mod``, default 1/4 — at 10^12 vectors the three
+assignment crossJoins must touch a sample, not everything) and the
+materialized k×dim codebook broadcast-joins everywhere it is used (index
+build + every probe reuse ONE training run).  nprobe trades recall for
+scan fraction; recall@k vs the brute-force baseline (queries.q21) is
+reported by bench.py and floor-tested in tests/test_ann.py.
 """
 
 from __future__ import annotations
@@ -39,15 +40,31 @@ from ..functions.vectors import cosine, dot
 
 K_CELLS = 8
 ITERS = 3
-# nprobe=4 of 8 cells scans ~half the corpus: measured recall@3 vs the
-# brute-force baseline is 0.80/0.87/0.80 at sf0.001/0.01/0.1, vs
-# 0.73/0.33/0.53 at nprobe=2 — this corpus's similarity structure is weak
-# (max off-diagonal cosine ~0.5), so neighbors straddle cell boundaries and
-# the recall/scan-fraction curve is the honest readout (see BENCH.md)
-NPROBE = 4
+# nprobe=5 of 8 cells: with the 1/4-sample-trained codebook, measured
+# recall@3 vs the brute-force baseline is 0.80/0.87/0.80 at
+# sf0.001/0.01/0.1 (nprobe=4 dips to 0.53-0.73) — this corpus's similarity
+# structure is weak (max off-diagonal cosine ~0.5), so neighbors straddle
+# cell boundaries and the recall/scan-fraction curve is the honest readout
+# (see BENCH.md)
+NPROBE = 5
 # deterministic, SF-independent seed vectors (all ids exist at every tier;
 # stride-61 spreads them across the corpus ordering)
 INIT_IDS = [5, 66, 127, 188, 249, 310, 371, 432]
+# Lloyd's trains on a deterministic 1/TRAIN_SAMPLE_MOD hash-sample of the
+# corpus (md5(vec_id) — engine-independent, unlike xxhash64), NOT the full
+# corpus: at 10^12 vectors the assignment crossJoin must touch a sample,
+# and the k-means objective is estimated fine from one.  recall@3 vs the
+# exact baseline stays >= 0.8 (tests/test_ann.py, bench.py readout).
+TRAIN_SAMPLE_MOD = 4
+
+
+def _train_sample_filter(mod: int):
+    """Deterministic cross-engine membership: first 8 md5 hex digits of
+    the stringified id, mod ``mod`` — the DuckDB oracle applies the
+    identical predicate."""
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    return (h % mod) == 0
 
 
 def _as_double(emb: DataFrame) -> DataFrame:
@@ -83,10 +100,21 @@ def _recompute(assigned: DataFrame) -> DataFrame:
 
 
 def train_centroids(emb: DataFrame, init_ids: list[int] = None,
-                    iters: int = ITERS) -> DataFrame:
-    """Lloyd's k-means -> (cell, cvec) trained codebook."""
+                    iters: int = ITERS,
+                    sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+    """Lloyd's k-means -> (cell, cvec) trained codebook.
+
+    Training runs on the deterministic 1/``sample_mod`` hash-sample
+    (``sample_mod=1`` trains on everything); seed vectors are fetched by
+    id from the FULL corpus so initialization never depends on the sample.
+    The returned k-row codebook is localCheckpoint()ed — callers reuse the
+    materialized result across the index build and every probe instead of
+    re-training per consumer.
+    """
     init_ids = INIT_IDS if init_ids is None else init_ids
     e = _as_double(emb)
+    e_train = (e.filter(_train_sample_filter(sample_mod))
+               if sample_mod > 1 else e)
     spark = emb.sparkSession
     seed_map = spark.createDataFrame(
         [(int(v), i) for i, v in enumerate(init_ids)], "vec_id long, cell int")
@@ -96,20 +124,23 @@ def train_centroids(emb: DataFrame, init_ids: list[int] = None,
         # materialize the k-row codebook each round: otherwise iteration
         # i's plan embeds every previous round, and each downstream
         # consumer (index build, query probe) re-trains from scratch
-        cent = _recompute(_nearest_cell(e, cent)).localCheckpoint()
+        cent = _recompute(_nearest_cell(e_train, cent)).localCheckpoint()
     return cent
 
 
 def ivf_topk(emb: DataFrame, query_filter, candidate_filter,
              k: int = 3, nprobe: int = NPROBE,
-             iters: int = ITERS) -> DataFrame:
+             iters: int = ITERS,
+             sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
     """Trained-IVF ANN: (query_id, neighbor_id, cos, rank) top-k per query.
 
     ``query_filter`` / ``candidate_filter`` are column predicates over
     vec_id splitting the corpus (mirrors queries.q21 so recall@k is
-    directly comparable)."""
+    directly comparable).  The codebook is trained ONCE on the
+    1/``sample_mod`` hash-sample and its materialized k rows feed both the
+    index build and the probe."""
     e = _as_double(emb)
-    cent = train_centroids(emb, iters=iters)
+    cent = train_centroids(emb, iters=iters, sample_mod=sample_mod)
 
     # INDEX: final cell assignment of the candidate corpus
     cands = _nearest_cell(e.filter(candidate_filter), cent) \
@@ -170,9 +201,15 @@ def _duck_recompute(assigned_cte: str, out: str) -> str:
 
 def duckdb_ivf_topk_sql(k: int = 3, nprobe: int = NPROBE,
                         iters: int = ITERS,
-                        init_ids: list[int] = None) -> str:
+                        init_ids: list[int] = None,
+                        sample_mod: int = TRAIN_SAMPLE_MOD) -> str:
     init_ids = INIT_IDS if init_ids is None else init_ids
     seed_values = ", ".join(f"({v}, {i})" for i, v in enumerate(init_ids))
+    # the same deterministic md5 hash-sample the Spark trainer applies
+    train_src = ("e" if sample_mod <= 1 else f"""(
+            SELECT vec_id, embedding FROM e
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % {sample_mod} = 0)""")
     parts = [f"""e AS (
             SELECT vec_id,
                    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
@@ -184,7 +221,7 @@ def duckdb_ivf_topk_sql(k: int = 3, nprobe: int = NPROBE,
               ON e.vec_id = m.vid
         )"""]
     for i in range(iters):
-        parts.append(_duck_assign("e", f"c{i}", f"a{i}"))
+        parts.append(_duck_assign(train_src, f"c{i}", f"a{i}"))
         parts.append(_duck_recompute(f"a{i}", f"c{i + 1}"))
     cf = f"c{iters}"
     d2q = _D2.format(v="q.qv", c="c.cvec")

@@ -34,7 +34,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``right`` row with the same ``on`` key and ``right_ts`` <= ``left_ts``
     (inclusive; NULLs when no such row exists — left-join semantics).
     Returns the left columns plus the appended values.
+
+    ``value_cols`` must be disjoint from the left columns: the output
+    appends each value column under its own name, so a collision would
+    silently produce a duplicate-named (ambiguous) column that breaks any
+    downstream name-based select.  Enforced up front.
     """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join value_cols collide with left columns: {sorted(clash)}"
+            " — rename/alias them on the right side first")
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         F.col(on).alias(on), F.col(left_ts).alias(_T),
@@ -87,7 +97,14 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
 
     Timestamps must be numeric (cast dates to epoch days first).  Pick
     bucket_width so a single (key, bucket) cell fits a task comfortably.
+    ``value_cols`` must be disjoint from the left columns (same appended-
+    column contract as :func:`asof_join`).
     """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join_bucketed value_cols collide with left columns: "
+            f"{sorted(clash)} — rename/alias them on the right side first")
     b_left = F.floor(F.col(left_ts) / F.lit(bucket_width)).cast("long")
     b_right = F.floor(F.col(right_ts) / F.lit(bucket_width)).cast("long")
     lb = left.withColumn("__b", b_left)

@@ -119,3 +119,64 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path):
     assert _WIN_W + _WIN_K - 1 == 8
     assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_connected_components_string_ids_multihop(spark):
+    """r2 ADVICE: the old sum-of-labels fixpoint was NULL for string ids,
+    exiting after one round and mislabeling multi-hop chains.  A 6-hop
+    string-id chain must now fully collapse to the lexicographic min."""
+    ids = [f"d{i:04d}" for i in range(7)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(6)],
+        "a_doc_id string, b_doc_id string")
+    tel = {}
+    got = {r["doc_id"]: r["component"]
+           for r in D.connected_components(edges, telemetry=tel).collect()}
+    assert got == {i: "d0000" for i in ids}
+    assert tel["converged"] is True
+    # min-label propagation needs ~diameter rounds; a one-round early exit
+    # (the old bug) could never converge a 6-hop chain
+    assert tel["iterations"] >= 3
+
+
+def test_connected_components_max_iter_detection(spark):
+    """A cluster deeper than max_iter must be DETECTED, not silently
+    mislabeled: telemetry says non-converged and a RuntimeWarning fires."""
+    import warnings
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_doc_id long, b_doc_id long")
+    tel = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = {r["doc_id"]: r["component"]
+                  for r in D.connected_components(
+                      edges, max_iter=3, telemetry=tel).collect()}
+    assert tel["converged"] is False and tel["iterations"] == 3
+    assert tel["last_changed"] > 0
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
+    assert labels[n] != 0  # the far end really has not been reached
+
+
+def test_dedup_groups_wide_production_config(spark):
+    """The in-code 'production default' claim (128 hashes, 32 bands) run
+    end-to-end against the DuckDB oracle built with the SAME parameters —
+    r2 only ever proved 16/4."""
+    import duckdb
+    sf_dir = "/root/testdata/sf0.001"
+    n_hashes, bands = 128, 32
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["group_id"], r["group_size"], r["is_canonical"])
+        for r in D.dedup_groups(docs, n_hashes=n_hashes,
+                                bands=bands).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            D.duckdb_dedup_groups_sql(n_hashes=n_hashes,
+                                      bands=bands)).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -69,8 +69,11 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
-    from ocr_documents_spark.queries import ORACLE_SQL, QUERIES
+    from ocr_documents_spark.queries import (ORACLE_SQL, QUERIES,
+                                             ensure_golden)
     from ocr_documents_spark.session import get_spark
+
+    ensure_golden()
 
     spark = get_spark("validate-queries", master="local[8]",
                       shuffle_partitions=8)
