@@ -1,0 +1,95 @@
+"""Distributed exact ranking primitives.
+
+Two operators that remove the classic single-partition bottlenecks:
+
+* :func:`with_global_rank` — an EXACT global row_number over a total
+  order without ever sorting the corpus in one task.  The naive
+  ``Window.orderBy(...)`` (no partitionBy) plans as
+  ``Exchange SinglePartition -> Sort`` over every row — the r2 verdict's
+  q49 driver-killer.  Here the rows are range-partitioned on the sort
+  key (so partition i's keys all precede partition i+1's), ranked
+  locally per range partition, and shifted by broadcast cumulative
+  partition counts.  Every sort is partition-local; the only
+  single-partition work is the cumulative sum over the P-row count
+  table (control-plane sized).
+
+* :func:`grouped_top_k` — per-group top-k by a sort key WITHOUT sorting
+  each group (the r2 verdict's q46 note): a salted two-level aggregate
+  where each (group, salt) cell sorts only its own slice and emits k
+  rows, then the k*S survivors per group are merged.  No Sort node
+  appears in the plan at all — both levels are hash aggregates — so a
+  hot stratum can never pin a task on a full-stratum sort.
+
+Both are pure DataFrame compositions (codegen end-to-end, no UDFs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(df: DataFrame, order_cols: Sequence[Column],
+                     rank_col: str = "rank",
+                     num_partitions: int | None = None) -> DataFrame:
+    """Append ``rank_col`` = exact global row_number under ``order_cols``.
+
+    ``order_cols`` must define a STRICT total order (include a unique
+    tiebreak column) — range partitioning may otherwise split equal keys
+    across a boundary.  The range exchange is consumed twice (local rank
+    + partition counts); Spark's ReusedExchange serves both from one
+    shuffle, so pids and counts are consistent by construction.
+    """
+    order_cols = list(order_cols)
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tagged = (df.repartitionByRange(parts, *order_cols)
+              .withColumn("__pid", F.spark_partition_id()))
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # cumulative offsets via a triangular self-join over the P-row count
+    # table (P^2 <= ~40k pairs) — not a partition-less running-sum window,
+    # so NO single-partition WindowExec appears anywhere in the plan
+    offsets = (counts
+               .join(counts.select(F.col("__pid").alias("__q"),
+                                   F.col("__n").alias("__m")),
+                     F.col("__q") < F.col("__pid"), "left")
+               .groupBy("__pid")
+               .agg(F.coalesce(F.sum("__m"), F.lit(0)).alias("__off")))
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (tagged
+            .withColumn("__lrn", F.row_number().over(w_local))
+            .join(F.broadcast(offsets), "__pid")
+            .withColumn(rank_col,
+                        (F.col("__off") + F.col("__lrn")).cast("int"))
+            .drop("__pid", "__lrn", "__off"))
+
+
+def grouped_top_k(df: DataFrame, group_cols: Sequence[str],
+                  order_cols: Sequence[str], k: int,
+                  rank_col: str = "rank",
+                  salt_buckets: int = 8) -> DataFrame:
+    """Per-group top-k rows under ``order_cols`` (ascending, field by
+    field) with bounded aggregation state instead of a per-group sort.
+
+    Returns ``group_cols + order_cols + rank_col`` (1-based).  Level 1
+    groups by (group, salt) and keeps ``slice(array_sort(collect), k)``
+    — each cell sorts ~n_group/salt_buckets rows; level 2 merges the
+    k*salt_buckets survivors.  ``order_cols`` must make rows within a
+    group distinct for a deterministic result.
+    """
+    group_cols, order_cols = list(group_cols), list(order_cols)
+    key = F.struct(*[F.col(c) for c in order_cols])
+    salt = F.pmod(F.xxhash64(*order_cols), F.lit(salt_buckets))
+    lvl1 = (df.groupBy(*group_cols, salt.alias("__salt"))
+            .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k)
+                 .alias("__top")))
+    lvl2 = (lvl1.groupBy(*group_cols)
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("__top"))),
+                         1, k).alias("__top")))
+    return (lvl2.select(
+        *group_cols, F.posexplode("__top").alias("__pos", "__row"))
+        .select(*group_cols,
+                *[F.col(f"__row.{c}").alias(c) for c in order_cols],
+                (F.col("__pos") + 1).cast("int").alias(rank_col)))

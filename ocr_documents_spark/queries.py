@@ -345,11 +345,13 @@ def q49_hybrid_rrf(spark, sf_dir):
     rounded scores with doc_id tiebreaks so both engines rank
     identically; the fusion is exact rational arithmetic on integer
     ranks, rounded once at the end.  The doc corpus joins the embedding
-    corpus 1:1 on id — the lake's multimodal join.  The global rank
-    window is a deliberate single-partition sort here (exact ranks for
-    the oracle); at 100 TB each ranker keeps only its top-N per
-    partition first (RRF contributions vanish past rank ~1000), so the
-    global sort sees N x partitions rows, not the corpus."""
+    corpus 1:1 on id — the lake's multimodal join.  Ranks come from
+    operators/rank.with_global_rank: range-partition on the score order,
+    local row_number, broadcast cumulative offsets — EXACT global ranks
+    with every sort partition-local (the r2 version's partition-less
+    Window was an Exchange-SinglePartition full sort of the corpus,
+    twice; plan-asserted gone in tests/test_plan_shapes.py)."""
+    from .operators.rank import with_global_rank
     bm25 = _bm25_scored(spark, sf_dir).filter(F.col("doc_id") != 0)
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select(
@@ -359,10 +361,10 @@ def q49_hybrid_rrf(spark, sf_dir):
             .select(F.col("vec_id").alias("doc_id"),
                     (F.round(cosine("embedding", "q"), 4) + 0.0)
                     .alias("cos")))
-    wt = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    wv = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
-    t_rank = bm25.withColumn("r_text", F.row_number().over(wt))
-    v_rank = cand.withColumn("r_vec", F.row_number().over(wv))
+    t_rank = with_global_rank(bm25, [F.desc("bm25"), F.asc("doc_id")],
+                              rank_col="r_text")
+    v_rank = with_global_rank(cand, [F.desc("cos"), F.asc("doc_id")],
+                              rank_col="r_vec")
     fused = (t_rank.join(v_rank, "doc_id")
              .select("doc_id", "r_text", "r_vec",
                      (F.round(1.0 / (RRF_K + F.col("r_text"))
@@ -397,12 +399,17 @@ def q46_stratified_sample(spark, sf_dir):
     down-sampling): within each (lang, source) stratum keep the first 5
     documents in md5(doc_id) order — a seedless hash makes the sample
     reproducible on any engine and any partitioning, unlike sampleBy.
-    One shuffle (the stratum window)."""
-    docs = _t(spark, sf_dir, "documents")
-    w = (Window.partitionBy("lang", "source")
-         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
-    return (docs.withColumn("sample_rank", F.row_number().over(w))
-            .filter(F.col("sample_rank") <= 5)
+    Via operators/rank.grouped_top_k — salted two-level hash aggregates,
+    NO per-stratum sort (the r2 version's stratum window fully sorted
+    each stratum for a top-5; the plan now contains no Sort at all,
+    asserted in tests/test_plan_shapes.py)."""
+    from .operators.rank import grouped_top_k
+    docs = (_t(spark, sf_dir, "documents")
+            .select("lang", "source",
+                    F.md5(F.col("doc_id").cast("string")).alias("__h"),
+                    "doc_id"))
+    return (grouped_top_k(docs, ["lang", "source"], ["__h", "doc_id"],
+                          k=5, rank_col="sample_rank")
             .select("lang", "source", "doc_id", "sample_rank"))
 
 
@@ -1085,7 +1092,7 @@ def q47_frame_samples(spark, sf_dir):
 _TFIDF_ROUND_C, _TFIDF_ROUND_OUT = 6, 4
 
 
-def q48_tfidf_classifier(spark, sf_dir):
+def q48_tfidf_classifier(spark, sf_dir, materialize_dir: str | None = None):
     """The north star's 'rules-plus-TF-IDF' classifier, TF-IDF half, as a
     pure relational pipeline: train per-lang centroids of smooth-idf
     TF-IDF vectors on even doc_ids, classify odd doc_ids by nearest
@@ -1098,13 +1105,20 @@ def q48_tfidf_classifier(spark, sf_dir):
             .select("doc_id", "lang", F.explode(F.split("text", " "))
                     .alias("term")))
     # six downstream branches (idf, df, label sizes, train/test vectors)
-    # re-derive this doc-term table; at 10^12 docs you would materialize
-    # it to the lake once and read it back (same shape, durable).
-    # Deliberately NOT .persist()ed here: at driver-suite scale cache
-    # materialization measured 3x slower than the re-derivations, and a
-    # query-owned persist can never be unpersisted by its caller.
+    # consume this doc-term table.  ``materialize_dir`` is the production
+    # path: the aggregated tf table is written to the lake ONCE and every
+    # branch reads it back (one corpus scan + explode total, durable,
+    # restartable) — proven output-identical to the default in
+    # tests/test_registry_extras.py.  The suite-scale default re-derives
+    # per branch: cache materialization measured 3x slower than the six
+    # re-derivations at this size, and a query-owned persist can never be
+    # unpersisted by its caller.
     tf = (docs.groupBy("doc_id", "lang", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
+    if materialize_dir:
+        path = _os2.path.join(materialize_dir, "q48_doc_terms.parquet")
+        tf.write.mode("overwrite").parquet(path)
+        tf = spark.read.parquet(path)
     train = tf.filter(F.col("doc_id") % 2 == 0)
     test = tf.filter(F.col("doc_id") % 2 == 1)
 

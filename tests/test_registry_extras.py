@@ -83,3 +83,16 @@ def test_registry_is_exactly_50_and_fully_oracled():
     assert len(Q.QUERIES) == 50
     missing = [k for k in Q.QUERIES if k not in Q.ORACLE_SQL]
     assert missing == [], f"registry entries without an oracle: {missing}"
+
+
+def test_q48_materialized_doc_terms_identical(spark, tmp_path):
+    """The production materialize-to-lake path (doc-term tf table written
+    once, six branches read it back) must produce byte-identical
+    classifications to the suite-scale re-derivation default."""
+    base = _normalize(Q.q48_tfidf_classifier(spark, SF_DIR).toPandas())
+    mat = _normalize(
+        Q.q48_tfidf_classifier(spark, SF_DIR,
+                               materialize_dir=str(tmp_path)).toPandas())
+    pd.testing.assert_frame_equal(base, mat)
+    import os
+    assert os.path.isdir(str(tmp_path / "q48_doc_terms.parquet"))
