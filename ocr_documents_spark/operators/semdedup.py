@@ -1,0 +1,152 @@
+"""Semantic deduplication over an embedding corpus (SemDeDup, Abbas et
+al. 2023: cluster embeddings, then drop within-cluster pairs whose
+cosine exceeds a threshold).
+
+Composition of operators this engine already trains and tests:
+
+1. the IVF coarse quantizer (operators/ivf.py) clusters the corpus —
+   Lloyd's on the deterministic md5 hash-sample, broadcast codebook,
+   cell assignment = the shuffle key of everything downstream;
+2. candidate pairs come from a SELF-JOIN ON THE CELL — never all-pairs:
+   the k/corpus ratio bounds each cell, and k is chosen so a cell fits
+   a task (the paper uses corpus_size/avg_cluster_size clusters for the
+   same reason).  Cosine is computed only inside cells;
+3. pairs >= threshold feed the dedup module's connected components
+   (min-label propagation, type-independent fixpoint, telemetry), and
+   every vector gets (group_id, group_size, is_canonical) — the same
+   keep/drop contract as text near-dup dedup_groups.
+
+Note the semantic difference from MinHash dedup: two texts with zero
+lexical overlap but near-identical embeddings (translations,
+paraphrases, re-renders) group HERE and nowhere else.
+
+The DuckDB oracle unrolls the identical k-means iterations (ivf's
+builders), joins on the assigned cell, and resolves groups with a
+recursive transitive closure — exact value parity, tested with
+engineered near-duplicate vectors (the raw corpus' max off-diagonal
+cosine ~0.5 keeps real pairs out at the default threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .dedup import connected_components
+from .ivf import (ITERS, TRAIN_SAMPLE_MOD, _as_double, _duck_assign,
+                  _duck_recompute, _nearest_cell, train_centroids, INIT_IDS)
+
+COS_THRESHOLD = 0.95
+
+
+def semantic_pair_candidates(emb: DataFrame,
+                             threshold: float = COS_THRESHOLD,
+                             iters: int = ITERS,
+                             sample_mod: int = TRAIN_SAMPLE_MOD
+                             ) -> DataFrame:
+    """-> (a_doc_id, b_doc_id) semantic-dup pairs: cosine >= threshold
+    computed WITHIN each trained cluster cell only (the self-join's sole
+    key is the cell — never all-pairs)."""
+    e = _as_double(emb)
+    cent = train_centroids(emb, iters=iters, sample_mod=sample_mod)
+    assigned = _nearest_cell(e, cent)
+    a = assigned.select(F.col("cell"), F.col("vec_id").alias("a_doc_id"),
+                        F.col("embedding").alias("av"))
+    b = assigned.select(F.col("cell"), F.col("vec_id").alias("b_doc_id"),
+                        F.col("embedding").alias("bv"))
+    return (a.join(b, "cell")
+            .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+            .withColumn("cos",
+                        F.round(cosine(F.col("av"), F.col("bv")), 4) + 0.0)
+            .filter(F.col("cos") >= threshold)
+            .select("a_doc_id", "b_doc_id"))
+
+
+def semantic_dedup_groups(emb: DataFrame,
+                          threshold: float = COS_THRESHOLD,
+                          iters: int = ITERS,
+                          sample_mod: int = TRAIN_SAMPLE_MOD,
+                          cc_telemetry: dict | None = None) -> DataFrame:
+    """-> (vec_id, group_id, group_size, is_canonical) over ALL vectors.
+
+    group_id = min vec_id of the connected semantic-dup component;
+    singletons are their own group.  Cosines are rounded to 4 decimals
+    before the threshold so both engines make identical keep decisions.
+    """
+    pairs = semantic_pair_candidates(emb, threshold, iters, sample_mod)
+    comp = connected_components(pairs, telemetry=cc_telemetry)
+    labeled = (emb.select("vec_id")
+               .join(comp.withColumnRenamed("doc_id", "vec_id"),
+                     "vec_id", "left")
+               .withColumn("group_id", F.coalesce("component", "vec_id"))
+               .drop("component"))
+    w = Window.partitionBy("group_id")
+    return (labeled
+            .withColumn("group_size", F.count(F.lit(1)).over(w))
+            .withColumn("is_canonical", F.col("vec_id") == F.col("group_id"))
+            .select("vec_id", "group_id", "group_size", "is_canonical"))
+
+
+def duckdb_semantic_dedup_sql(input_sql: str,
+                              threshold: float = COS_THRESHOLD,
+                              iters: int = ITERS,
+                              sample_mod: int = TRAIN_SAMPLE_MOD,
+                              init_ids: list[int] = None) -> str:
+    """Exact SQL twin.  ``input_sql`` must select (vec_id, embedding) —
+    the corpus, possibly augmented with engineered near-dups in tests."""
+    init_ids = INIT_IDS if init_ids is None else init_ids
+    seed_values = ", ".join(f"({v}, {i})" for i, v in enumerate(init_ids))
+    train_src = ("e" if sample_mod <= 1 else f"""(
+            SELECT vec_id, embedding FROM e
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % {sample_mod} = 0)""")
+    parts = [f"""e AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE))
+                       AS embedding
+            FROM ({input_sql})
+        ),
+        c0 AS (
+            SELECT m.cell, e.embedding AS cvec
+            FROM e JOIN (VALUES {seed_values}) m(vid, cell)
+              ON e.vec_id = m.vid
+        )"""]
+    for i in range(iters):
+        parts.append(_duck_assign(train_src, f"c{i}", f"a{i}"))
+        parts.append(_duck_recompute(f"a{i}", f"c{i + 1}"))
+    parts.append(_duck_assign("e", f"c{iters}", "assigned"))
+    parts.append(f"""pairs AS (
+            SELECT a.vec_id AS s, b.vec_id AS d
+            FROM assigned a JOIN assigned b ON a.cell = b.cell
+             AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding, b.embedding)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(b.embedding, b.embedding))),
+                        4) + 0.0 >= {threshold}
+        ),
+        und AS (
+            SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+        ),
+        comp AS (
+            SELECT s AS vec_id, least(s, min(d)) AS group_id
+            FROM reach GROUP BY s
+        ),
+        labeled AS (
+            SELECT ee.vec_id, coalesce(c.group_id, ee.vec_id) AS group_id
+            FROM (SELECT vec_id FROM e) ee
+            LEFT JOIN comp c USING (vec_id)
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH RECURSIVE {body}
+        SELECT vec_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size,
+               (vec_id = group_id) AS is_canonical
+        FROM labeled
+    """

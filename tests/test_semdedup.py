@@ -1,0 +1,83 @@
+"""Semantic dedup (operators/semdedup.py): engineered near-duplicate
+vectors must group cross-cluster-consistently with the exact DuckDB twin
+(unrolled k-means + within-cell cosine pairs + transitive closure)."""
+
+import duckdb
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_documents_spark.operators import semdedup as SM
+from ocr_documents_spark.queries import (NEARDUP_N, NEARDUP_OFFSET,
+                                         NEARDUP_SCALE, NEARDUP_SHIFT)
+
+SF_DIR = "/root/testdata/sf0.001"
+PARQ = f"{SF_DIR}/embeddings.parquet"
+
+# the q24 engineered-union recipe: vec_id < N re-emitted at +OFFSET with
+# embedding' = SCALE*x + SHIFT (cos ~0.9997 to its source) — the raw
+# corpus has no cos >= 0.95 pair, so a dedup test must manufacture them
+ENG_SQL = f"""
+    SELECT vec_id, embedding FROM '{PARQ}'
+    UNION ALL
+    SELECT vec_id + {NEARDUP_OFFSET},
+           list_transform(embedding,
+                          v -> v * {NEARDUP_SCALE} + {NEARDUP_SHIFT})
+    FROM '{PARQ}' WHERE vec_id < {NEARDUP_N}
+"""
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    base = spark.read.parquet(PARQ).select("vec_id", "embedding")
+    eng = (base.filter(F.col("vec_id") < NEARDUP_N)
+           .select((F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+                   F.transform(
+                       "embedding",
+                       lambda v: v * NEARDUP_SCALE + NEARDUP_SHIFT)
+                   .alias("embedding")))
+    return base.unionByName(eng)
+
+
+def test_engineered_pairs_group_and_match_oracle(emb):
+    tel = {}
+    got = {r["vec_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in SM.semantic_dedup_groups(
+               emb, cc_telemetry=tel).collect()}
+    assert tel["converged"] is True
+    # SemDeDup is within-cluster by construction: a near-dup pair whose
+    # members straddle a hard-assignment cell boundary is missed (the
+    # paper's known recall trade) — so copies either group under their
+    # source or stay singletons, never anything else, and most group
+    grouped = 0
+    for i in range(NEARDUP_N):
+        g = got[i + NEARDUP_OFFSET]
+        assert g[0] in (i, i + NEARDUP_OFFSET)
+        if g[0] == i:
+            grouped += 1
+            assert g[2] is False
+            assert got[i] == (i, 2, True)
+    assert grouped >= NEARDUP_N * 2 // 3, f"only {grouped} pairs grouped"
+    # untouched corpus vectors are singletons
+    singles = [v for k, v in got.items()
+               if NEARDUP_N <= k < NEARDUP_OFFSET]
+    assert singles and all(s[1] == 1 and s[2] for s in singles)
+
+    con = duckdb.connect()
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        SM.duckdb_semantic_dedup_sql(ENG_SQL)).fetchall()}
+    assert got == want
+
+
+def test_pairs_join_on_cell_never_allpairs(emb):
+    """Plan shape: the candidate join's only key is the cluster cell —
+    no cartesian over the corpus.  (The broadcast nested-loop against the
+    k-row codebook is the intended cell-assignment pattern and is allowed;
+    asserted on the pair stage because dedup's connected components
+    localCheckpoints, truncating the downstream lineage.)"""
+    plan = SM.semantic_pair_candidates(emb) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    for line in plan.splitlines():
+        if "CartesianProduct" in line:
+            raise AssertionError(f"cartesian over the corpus: {line}")
