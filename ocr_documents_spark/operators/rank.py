@@ -66,6 +66,39 @@ def with_global_rank(df: DataFrame, order_cols: Sequence[Column],
             .drop("__pid", "__lrn", "__off"))
 
 
+def with_global_cumsum(df: DataFrame, order_cols: Sequence[Column],
+                       value_col: str, out_col: str = "cumsum",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Append ``out_col`` = EXCLUSIVE running sum of ``value_col`` under
+    the total order ``order_cols`` (i.e. the offset of each row's value
+    in the global stream).  Same two-level shape as
+    :func:`with_global_rank`: range partitions accumulate locally, the
+    P-row per-partition totals turn into broadcast starting offsets via
+    a triangular join — no single-partition sort or window anywhere.
+    """
+    order_cols = list(order_cols)
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tagged = (df.repartitionByRange(parts, *order_cols)
+              .withColumn("__pid", F.spark_partition_id()))
+    totals = tagged.groupBy("__pid").agg(
+        F.sum(value_col).cast("long").alias("__t"))
+    offsets = (totals
+               .join(totals.select(F.col("__pid").alias("__q"),
+                                   F.col("__t").alias("__m")),
+                     F.col("__q") < F.col("__pid"), "left")
+               .groupBy("__pid")
+               .agg(F.coalesce(F.sum("__m"), F.lit(0)).alias("__off")))
+    w_local = (Window.partitionBy("__pid").orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    return (tagged
+            .withColumn("__lsum", F.coalesce(
+                F.sum(value_col).over(w_local).cast("long"), F.lit(0)))
+            .join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__off") + F.col("__lsum"))
+            .drop("__pid", "__lsum", "__off"))
+
+
 def grouped_top_k(df: DataFrame, group_cols: Sequence[str],
                   order_cols: Sequence[str], k: int,
                   rank_col: str = "rank",

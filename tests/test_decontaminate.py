@@ -1,0 +1,64 @@
+"""Benchmark decontamination (operators/decontaminate.py): engineered
+train/eval overlap vs the exact DuckDB twin, drop-mode semantics, and
+the zero-corpus-shuffle broadcast plan."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_documents_spark.operators import decontaminate as DC
+
+K = 4
+
+EVAL_SNIPPET = "what is the capital of france"          # 6 words
+TRAIN = [
+    (0, f"quiz answers leaked online {EVAL_SNIPPET} paris obviously"),
+    (1, "a perfectly clean training document about cooking pasta"),
+    (2, f"another leak here {EVAL_SNIPPET} see above"),
+    (3, "capital of france cuisine is famous"),   # only a 3-word overlap
+]
+BENCH = [
+    (100, EVAL_SNIPPET),
+    (101, "name the largest ocean on earth"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    return docs, bench
+
+
+def test_report_vs_oracle(frames):
+    docs, bench = frames
+    got = {r["doc_id"]: (r["n_hit_grams"], tuple(r["sample_hits"]))
+           for r in DC.contamination_report(docs, bench, K).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(TRAIN, columns=["doc_id", "text"]))
+    con.register("bench", pd.DataFrame(BENCH, columns=["bench_id", "text"]))
+    want = {r[0]: (r[1], tuple(r[2])) for r in con.execute(
+        DC.duckdb_contamination_sql(K)).fetchall()}
+    assert got == want
+    assert set(got) == {0, 2}            # doc 3's 3-word overlap is < k
+    assert got[0][0] == 3                # 6-word snippet -> three 4-grams
+
+
+def test_decontaminate_drops_only_contaminated(frames):
+    docs, bench = frames
+    kept = sorted(r["doc_id"]
+                  for r in DC.decontaminate(docs, bench, K).collect())
+    assert kept == [1, 3]
+
+
+def test_corpus_joins_are_broadcast_only(frames):
+    """Scale shape: every join the corpus participates in is broadcast
+    (eval grams + contaminated-id set are the small sides); the only
+    Exchanges left are the tiny bench-side/id-set distincts — the corpus
+    itself is never the shuffled side of a join."""
+    docs, bench = frames
+    plan = DC.decontaminate(docs, bench, K) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
