@@ -48,6 +48,20 @@ BANDS = 4
 JACCARD_THRESHOLD = 0.7
 SHINGLE_N = 3
 
+# Min-wise hash family (MMDS ch. 3.3.6): ONE base hash per shingle
+# (first 8 md5 hex digits -> x < 2^32), then n_hashes universal-hash
+# permutations h_j(x) = (a_j*x + b_j) mod p over a Mersenne prime.
+# Measured 2x faster than the r2 16-salted-md5 family at sf0.1 (the
+# md5 calls were the whole cost; multiply-mod is native codegen) — at
+# 100 TB the signature stage dominates dedup, so this is the scaling
+# lever.  a < 2^30 keeps a*x inside signed 64-bit on every engine.
+# Constants are fixed by seed so Spark and the DuckDB oracle share them.
+HASH_P = (1 << 61) - 1
+_rng = __import__("random").Random(1234)
+MAX_HASHES = 128  # enough for the widest deployment config proven here
+HASH_A = [_rng.randrange(1, 1 << 30) | 1 for _ in range(MAX_HASHES)]
+HASH_B = [_rng.randrange(0, 1 << 40) for _ in range(MAX_HASHES)]
+
 
 def words_col(text_col: str = "text"):
     return F.filter(F.split(text_col, " "), lambda x: x != "")
@@ -66,11 +80,17 @@ def ngrams_over(words, n: int):
             .otherwise(F.array().cast("array<string>"))
 
 
-def _salted_hash(j: int):
-    """Closure factory — a ``lambda s, j=j`` would be read by pyspark as the
-    TWO-ARG (element, index) transform signature and silently replace the
-    salt with the array index."""
-    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+def _base_hash():
+    """shingle string -> x in [0, 2^32): first 8 md5 hex digits."""
+    return lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _perm_hash(j: int):
+    """Closure factory — a ``lambda v, j=j`` would be read by pyspark as
+    the TWO-ARG (element, index) transform signature and silently replace
+    the permutation index with the array index."""
+    a, b = HASH_A[j], HASH_B[j]
+    return lambda v: (v * a + b) % HASH_P
 
 
 def shingled_docs(docs: DataFrame, shingle_n: int = SHINGLE_N) -> DataFrame:
@@ -93,20 +113,26 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
                        shingle_n: int = SHINGLE_N) -> DataFrame:
     """-> (doc_id, h0..h{n-1}, band0..band{b-1}).
 
-    h_j(x) = md5(j || ':' || x) compared lexicographically (a valid
-    min-wise family: each salt induces an independent pseudo-random order
-    over shingles, Broder 1997); band_k = md5(concat of its row hashes).
-    Entirely per-row — the signature stage runs at scan speed.
+    h_j = min over shingles of (a_j * base(shingle) + b_j) mod p — the
+    universal-permutation min-wise family (Broder 1997 via MMDS 3.3.6),
+    ONE md5 per shingle instead of n_hashes of them; band_k = md5 of its
+    row hashes joined with ':' (the separator keeps variable-width ints
+    unambiguous).  Entirely per-row — the signature stage runs at scan
+    speed, and the base-hash array is materialized once per doc so the
+    n_hashes mins fold over longs, never re-hashing text.
     """
     assert n_hashes % bands == 0, "n_hashes must split evenly into bands"
+    assert n_hashes <= MAX_HASHES
     rows = n_hashes // bands
     sh = shingled_docs(docs, shingle_n)
-    sig = sh.select(
-        "doc_id",
-        *[F.array_min(F.transform("shingles", _salted_hash(j))).alias(f"h{j}")
-          for j in range(n_hashes)])
+    sig = (sh.select("doc_id",
+                     F.transform("shingles", _base_hash()).alias("xs"))
+           .select("doc_id",
+                   *[F.array_min(F.transform("xs", _perm_hash(j)))
+                     .alias(f"h{j}") for j in range(n_hashes)]))
     band_cols = [
-        F.md5(F.concat(*[F.col(f"h{k * rows + r}") for r in range(rows)]))
+        F.md5(F.concat_ws(
+            ":", *[F.col(f"h{k * rows + r}") for r in range(rows)]))
         .alias(f"band{k}")
         for k in range(bands)]
     return sig.select("doc_id", *[f"h{j}" for j in range(n_hashes)],
@@ -274,7 +300,8 @@ def dedup_groups(docs: DataFrame, n_hashes: int = N_HASHES,
 # ---------------------------------------------------------------------------
 
 def duckdb_shingle_cte(shingle_n: int = SHINGLE_N) -> str:
-    """CTEs: documents -> shd(doc_id, shingle) distinct word n-grams."""
+    """CTEs: documents -> shd(doc_id, shingle, x) distinct word n-grams
+    with the 32-bit base hash."""
     leads = " || ' ' || ".join(
         ["word"] + [f"lead(word, {j}) OVER w" for j in range(1, shingle_n)])
     return f"""
@@ -288,19 +315,24 @@ def duckdb_shingle_cte(shingle_n: int = SHINGLE_N) -> str:
             FROM toks WHERE word <> ''
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ), shd AS (
-            SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+            SELECT DISTINCT doc_id, shingle,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+            FROM sh WHERE shingle IS NOT NULL
         )"""
 
 
 def duckdb_signature_select(n_hashes: int = N_HASHES,
                             bands: int = BANDS) -> tuple[str, str]:
-    """(sig column list over shd, band column list over sig)."""
+    """(sig column list over shd, band column list over sig) — the same
+    universal-hash family as minhash_signatures, shared constants."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     hashes = ", ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(n_hashes))
+        f"min((x * {HASH_A[j]} + {HASH_B[j]}) % {HASH_P}) AS h{j}"
+        for j in range(n_hashes))
     band_cols = ", ".join(
-        "md5(" + " || ".join(f"h{k * rows + r}" for r in range(rows))
+        "md5(" + " || ':' || ".join(
+            f"h{k * rows + r}::VARCHAR" for r in range(rows))
         + f") AS band{k}" for k in range(bands))
     return hashes, band_cols
 
@@ -313,7 +345,8 @@ def duckdb_candidates_cte(n_hashes: int = N_HASHES,
     rows = n_hashes // bands
     band_union = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, {k} AS band_idx, md5("
-        + " || ".join(f"h{k * rows + r}" for r in range(rows))
+        + " || ':' || ".join(f"h{k * rows + r}::VARCHAR"
+                             for r in range(rows))
         + ") AS band FROM sig"
         for k in range(bands))
     return f"""{duckdb_shingle_cte(shingle_n)},
