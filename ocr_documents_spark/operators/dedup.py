@@ -150,16 +150,48 @@ def candidate_pairs(sig: DataFrame, bands: int = BANDS) -> DataFrame:
     its own bucketed table (band is the shuffle key), and the self-join
     reads it twice without re-hashing the corpus.
     """
-    stacked = (sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{k}") for k in range(bands)]))
-        .alias("band_idx", "band"))
-        .localCheckpoint())
+    stacked = band_index(sig, bands).localCheckpoint()
     a = stacked.select(F.col("doc_id").alias("a_doc_id"), "band_idx", "band")
     b = stacked.select(F.col("doc_id").alias("b_doc_id"), "band_idx", "band")
     return (a.join(b, ["band_idx", "band"])
             .filter(F.col("a_doc_id") < F.col("b_doc_id"))
             .select("a_doc_id", "b_doc_id")
+            .distinct())
+
+
+def band_index(sig: DataFrame, bands: int = BANDS) -> DataFrame:
+    """The persistent LSH index: -> (doc_id, band_idx, band), one
+    posexplode over the band columns.  At production scale this is a
+    TABLE (bucketed/sorted by band) the lake stores next to the corpus;
+    incremental dedup reads it instead of re-hashing 100 TB."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{k}") for k in range(bands)]))
+        .alias("band_idx", "band"))
+
+
+def incremental_candidates(new_docs: DataFrame, index: DataFrame,
+                           n_hashes: int = N_HASHES, bands: int = BANDS,
+                           shingle_n: int = SHINGLE_N) -> DataFrame:
+    """Incremental dedup candidates: a NEW batch against the stored band
+    index -> (new_doc_id, index_doc_id).
+
+    The daily-ingest flow: only the batch is shingled and hashed (batch
+    cost, not corpus cost); the join hits the persisted index on its own
+    bucket key, so a bucketed index table makes this a co-located probe
+    touching only the bands the batch produces.  Feed the hits to
+    ``verified_pairs``-style exact Jaccard (against the hit docs only)
+    or straight to a drop decision for exact-signature matches.
+    New-vs-new duplicates inside the batch are the ordinary
+    ``candidate_pairs`` over the batch — run both, union the edges.
+    """
+    new_bands = band_index(
+        minhash_signatures(new_docs, n_hashes, bands, shingle_n), bands)
+    return (new_bands.alias("n")
+            .join(index.alias("i"), ["band_idx", "band"])
+            .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+            .select(F.col("n.doc_id").alias("new_doc_id"),
+                    F.col("i.doc_id").alias("index_doc_id"))
             .distinct())
 
 

@@ -180,3 +180,26 @@ def test_dedup_groups_wide_production_config(spark):
                                       bands=bands)).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_incremental_candidates_against_stored_index(spark, corpus, tmp_path):
+    """The daily-ingest flow: the corpus' band index persists as a table;
+    a new batch hashes ONLY itself and probes the stored index.  An exact
+    dup of an indexed doc is found; batch-unique text hits nothing."""
+    idx_path = str(tmp_path / "band_index.parquet")
+    D.band_index(D.minhash_signatures(corpus)).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = _docs(spark, [
+        BASE,                                             # dup of docs 0/1
+        "totally novel content in this freshly crawled page today",
+    ])
+    # re-id the batch so ids don't collide with the indexed corpus
+    batch = batch.withColumn("doc_id", F.col("doc_id") + 100)
+    hits = {(r["new_doc_id"], r["index_doc_id"])
+            for r in D.incremental_candidates(batch, index).collect()}
+    assert (100, 0) in hits and (100, 1) in hits
+    assert (100, 2) in hits          # near-dup chain member still banded
+    assert not any(n == 101 for n, _ in hits)
+    # the probe side never contains corpus doc ids as "new"
+    assert all(n >= 100 for n, _ in hits)
