@@ -127,6 +127,36 @@ def main() -> None:
            for r in QUERIES["q34_ann_ivf"](spark, sf_dir).collect()}
     recall = round(len(bf & ivf) / len(bf), 4) if bf else None
 
+    # round-3 curation operators, timed OUTSIDE the stable 21-query suite
+    # (so round-over-round suite wall / docs_per_sec stay comparable);
+    # each runs over the tier's documents/embeddings tables
+    from pyspark.sql import functions as F  # noqa: N812
+    from ocr_documents_spark.operators.decontaminate import decontaminate
+    from ocr_documents_spark.operators.mixing import domain_weighted_sample
+    from ocr_documents_spark.operators.packing import pack_sequences
+    from ocr_documents_spark.operators.quality_filters import \
+        quality_filter_report
+    from ocr_documents_spark.operators.semdedup import semantic_dedup_groups
+    from ocr_documents_spark.operators.substring_dedup import \
+        remove_duplicate_spans
+
+    tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
+    bench_docs = tbl("documents").select("doc_id", "text")
+    eval_set = (tbl("documents").filter(F.col("doc_id") % 97 == 0)
+                .select((F.col("doc_id") + 10**9).alias("bench_id"), "text"))
+    extra_factories = {
+        "substring_dedup": lambda: remove_duplicate_spans(bench_docs, k=8),
+        "quality_report": lambda: quality_filter_report(tbl("documents")),
+        "semdedup": lambda: semantic_dedup_groups(
+            tbl("embeddings").select("vec_id", "embedding")),
+        "decontaminate": lambda: decontaminate(bench_docs, eval_set, k=8),
+        "domain_mixing": lambda: domain_weighted_sample(
+            tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
+        "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
+    }
+    extras = {name: round(best_of(fn), 3)
+              for name, fn in extra_factories.items()}
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "extraction+operator suite wall time",
@@ -139,6 +169,7 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "ivf_recall_at_3": recall,
         "ivf_config": {"k_cells": K_CELLS, "nprobe": NPROBE},
+        "extra_ops_sec": extras,
     }))
     spark.stop()
 
