@@ -131,16 +131,20 @@ def train_centroids(emb: DataFrame, init_ids: list[int] = None,
 def ivf_topk(emb: DataFrame, query_filter, candidate_filter,
              k: int = 3, nprobe: int = NPROBE,
              iters: int = ITERS,
-             sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+             sample_mod: int = TRAIN_SAMPLE_MOD,
+             centroids: DataFrame | None = None) -> DataFrame:
     """Trained-IVF ANN: (query_id, neighbor_id, cos, rank) top-k per query.
 
     ``query_filter`` / ``candidate_filter`` are column predicates over
     vec_id splitting the corpus (mirrors queries.q21 so recall@k is
     directly comparable).  The codebook is trained ONCE on the
     1/``sample_mod`` hash-sample and its materialized k rows feed both the
-    index build and the probe."""
+    index build and the probe; pass ``centroids`` (cell, cvec) to reuse a
+    codebook trained earlier — the production "train once, persist, serve
+    every index build and query" path."""
     e = _as_double(emb)
-    cent = train_centroids(emb, iters=iters, sample_mod=sample_mod)
+    cent = (centroids if centroids is not None
+            else train_centroids(emb, iters=iters, sample_mod=sample_mod))
 
     # INDEX: final cell assignment of the candidate corpus
     cands = _nearest_cell(e.filter(candidate_filter), cent) \

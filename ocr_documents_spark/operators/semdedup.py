@@ -43,13 +43,17 @@ COS_THRESHOLD = 0.95
 def semantic_pair_candidates(emb: DataFrame,
                              threshold: float = COS_THRESHOLD,
                              iters: int = ITERS,
-                             sample_mod: int = TRAIN_SAMPLE_MOD
+                             sample_mod: int = TRAIN_SAMPLE_MOD,
+                             centroids: DataFrame | None = None
                              ) -> DataFrame:
     """-> (a_doc_id, b_doc_id) semantic-dup pairs: cosine >= threshold
     computed WITHIN each trained cluster cell only (the self-join's sole
-    key is the cell — never all-pairs)."""
+    key is the cell — never all-pairs).  ``centroids`` reuses an
+    already-trained codebook (e.g. the one the ANN index trained) instead
+    of running Lloyd's again."""
     e = _as_double(emb)
-    cent = train_centroids(emb, iters=iters, sample_mod=sample_mod)
+    cent = (centroids if centroids is not None
+            else train_centroids(emb, iters=iters, sample_mod=sample_mod))
     assigned = _nearest_cell(e, cent)
     a = assigned.select(F.col("cell"), F.col("vec_id").alias("a_doc_id"),
                         F.col("embedding").alias("av"))
@@ -67,14 +71,16 @@ def semantic_dedup_groups(emb: DataFrame,
                           threshold: float = COS_THRESHOLD,
                           iters: int = ITERS,
                           sample_mod: int = TRAIN_SAMPLE_MOD,
-                          cc_telemetry: dict | None = None) -> DataFrame:
+                          cc_telemetry: dict | None = None,
+                          centroids: DataFrame | None = None) -> DataFrame:
     """-> (vec_id, group_id, group_size, is_canonical) over ALL vectors.
 
     group_id = min vec_id of the connected semantic-dup component;
     singletons are their own group.  Cosines are rounded to 4 decimals
     before the threshold so both engines make identical keep decisions.
     """
-    pairs = semantic_pair_candidates(emb, threshold, iters, sample_mod)
+    pairs = semantic_pair_candidates(emb, threshold, iters, sample_mod,
+                                     centroids=centroids)
     comp = connected_components(pairs, telemetry=cc_telemetry)
     labeled = (emb.select("vec_id")
                .join(comp.withColumnRenamed("doc_id", "vec_id"),

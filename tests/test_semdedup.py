@@ -81,3 +81,15 @@ def test_pairs_join_on_cell_never_allpairs(emb):
     for line in plan.splitlines():
         if "CartesianProduct" in line:
             raise AssertionError(f"cartesian over the corpus: {line}")
+
+
+def test_injected_codebook_reused_not_retrained(emb):
+    """The production train-once path: a codebook trained up front and
+    passed in must yield the identical grouping to the self-trained
+    default (the injected DataFrame short-circuits Lloyd's)."""
+    from ocr_documents_spark.operators.ivf import train_centroids
+    cb = train_centroids(emb)
+    default = sorted(tuple(r) for r in SM.semantic_dedup_groups(emb).collect())
+    injected = sorted(tuple(r) for r in
+                      SM.semantic_dedup_groups(emb, centroids=cb).collect())
+    assert injected == default
