@@ -92,3 +92,38 @@ def test_no_window_over_corpus_tokens(spark, docs):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "doc_id" in line.split("windowspecdefinition(", 1)[1][:40]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_random_corpora_vs_oracle(spark, data):
+    """Hypothesis: random small-vocab corpora (heavy accidental overlap,
+    planted shared runs, within-doc repeats) — Spark output must equal
+    the DuckDB twin exactly, rebuilt text included."""
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = data.draw(st.integers(2, 6))
+    k = data.draw(st.sampled_from([3, 4]))
+    texts = []
+    for _ in range(n_docs):
+        words = data.draw(st.lists(st.sampled_from(vocab),
+                                   min_size=2, max_size=25))
+        texts.append(" ".join(words))
+    # plant a shared run into two docs at random offsets
+    if n_docs >= 2:
+        run = " ".join(data.draw(st.lists(st.sampled_from(vocab),
+                                          min_size=k, max_size=2 * k)))
+        texts[0] = texts[0] + " " + run
+        texts[-1] = run + " " + texts[-1]
+    rows = list(enumerate(texts))
+    sdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dropped"])
+           for r in SD.remove_duplicate_spans(sdocs, k).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        SD.duckdb_remove_duplicate_spans_sql(k)).fetchall()}
+    assert got == want
