@@ -1,0 +1,130 @@
+"""End-to-end training-data curation job: the corpus-to-training-set
+pipeline, composed from the operator modules this engine ships.
+
+    spark-submit --py-files engine.zip ocr_documents_spark/jobs/curate.py \
+        --input /lake/documents --out /lake/curated \
+        --bench /lake/eval_set --seq-len 2048
+
+Stage order (each stage's input is the previous stage's survivors, and
+each emits one row in the funnel metrics):
+
+1. **scrub** — PII masking (operators/pii): per-row regexp chain, the
+   text every later stage sees is already masked;
+2. **quality** — Gopher/C4 rule report (operators/quality_filters),
+   keep only docs passing every rule;
+3. **dedup** — MinHash/LSH near-dup groups (operators/dedup), keep
+   canonical docs only;
+4. **decontaminate** — drop docs sharing any k-gram with the eval set
+   (operators/decontaminate; skipped when no eval set is given);
+5. **mix** — deterministic per-domain weighted sampling
+   (operators/mixing; skipped when no weights are given);
+6. **pack** — the fixed-length training-sequence manifest
+   (operators/packing).
+
+Scale shape: stages 1, 4 and 5 are scan-speed projections/broadcast
+probes; stage 2 is doc_id-keyed partial aggregation; stage 3 is the
+banded dedup pipeline (never all-pairs); stage 6 is the
+range-partitioned offset computation.  Between stages only (doc_id,
+clean_text[, source]) flows, and the funnel counts ride the stage
+actions the job needs anyway.  Every stage's operator carries its own
+DuckDB value oracle in its module tests; the composition test
+(tests/test_curate.py) checks the funnel's invariants end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_documents_spark.operators.decontaminate import decontaminate
+from ocr_documents_spark.operators.dedup import dedup_groups
+from ocr_documents_spark.operators.mixing import domain_weighted_sample
+from ocr_documents_spark.operators.packing import pack_sequences
+from ocr_documents_spark.operators.pii import scrub_corpus
+from ocr_documents_spark.operators.quality_filters import \
+    quality_filter_report
+
+
+def run_curation(spark: SparkSession, docs: DataFrame,
+                 bench: DataFrame | None = None,
+                 weights: dict[str, float] | None = None,
+                 seq_len: int = 2048,
+                 dedup_threshold: float = 0.7,
+                 out_dir: str | None = None) -> dict:
+    """docs(doc_id, text[, source]) -> funnel metrics dict; when
+    ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
+    and ``manifest`` (the packed-sequence table) under it."""
+    metrics: dict[str, int] = {"input": docs.count()}
+
+    # 1. scrub — downstream stages consume the masked text
+    cur = (scrub_corpus(docs, "text", "clean_text")
+           .drop("text").withColumnRenamed("clean_text", "text"))
+
+    # 2. quality keep/drop
+    keep_ids = (quality_filter_report(cur)
+                .filter(F.col("keep")).select("doc_id"))
+    cur = cur.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
+    metrics["after_quality"] = cur.count()
+
+    # 3. near-dup dedup: canonical survivors only
+    canon = (dedup_groups(cur.select("doc_id", "text"),
+                          threshold=dedup_threshold)
+             .filter(F.col("is_canonical")).select("doc_id"))
+    cur = cur.join(canon, "doc_id", "left_semi").localCheckpoint()
+    metrics["after_dedup"] = cur.count()
+
+    # 4. eval-set decontamination
+    if bench is not None:
+        cur = decontaminate(cur, bench).localCheckpoint()
+        metrics["after_decontaminate"] = cur.count()
+
+    # 5. domain mixing
+    if weights is not None:
+        cur = domain_weighted_sample(cur, weights).localCheckpoint()
+        metrics["after_mixing"] = cur.count()
+
+    # 6. pack
+    manifest = pack_sequences(cur.select("doc_id", "text"), seq_len)
+    agg = manifest.agg(
+        F.count(F.lit(1)).alias("slices"),
+        (F.max("seq_id") + 1).alias("sequences"),
+        F.sum("n_tok").alias("tokens")).first()
+    metrics["manifest_slices"] = agg["slices"] or 0
+    metrics["train_sequences"] = int(agg["sequences"] or 0)
+    metrics["train_tokens"] = int(agg["tokens"] or 0)
+
+    if out_dir is not None:
+        cur.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+        manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    return metrics
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bench", default=None,
+                   help="parquet of (bench_id, text) eval rows")
+    p.add_argument("--weights", default=None,
+                   help='JSON {"domain": rate, ...} for the mixing stage')
+    p.add_argument("--seq-len", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    from ocr_documents_spark.session import get_spark
+    spark = get_spark("curate")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    weights = json.loads(args.weights) if args.weights else None
+    metrics = run_curation(spark, docs, bench, weights,
+                           seq_len=args.seq_len, out_dir=args.out)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,15 +24,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over, words_col
+from .dedup import ngrams_over
 
 K_WORDS = 8  # published pipelines use 8-13 word windows
+
+
+def _ws_words(text_col: str):
+    # split on ANY whitespace: a newline-joined token pair would
+    # otherwise hide a benchmark overlap that crosses a line break
+    return F.filter(F.split(text_col, "\\s+"), lambda w: w != "")
 
 
 def _doc_grams(docs: DataFrame, k: int, id_col: str,
                text_col: str) -> DataFrame:
     return (docs
-            .select(id_col, words_col(text_col).alias("ws"))
+            .select(id_col, _ws_words(text_col).alias("ws"))
             .filter(F.size("ws") >= k)
             .select(id_col,
                     F.explode(F.array_distinct(
@@ -44,7 +50,7 @@ def benchmark_grams(bench: DataFrame, k: int = K_WORDS,
     """-> one-column (gram) table of the eval set's distinct k-grams.
     Small by construction; persist/broadcast it."""
     return (bench
-            .select(words_col(text_col).alias("ws"))
+            .select(_ws_words(text_col).alias("ws"))
             .filter(F.size("ws") >= k)
             .select(F.explode(ngrams_over(F.col("ws"), k)).alias("gram"))
             .distinct())
@@ -85,10 +91,11 @@ def duckdb_contamination_sql(k: int = K_WORDS) -> str:
         out_id = f"{idc}, " if keep_id else ""
         return f"""{name}_t AS (
             SELECT {idc},
-                   unnest(list_filter(string_split(text, ' '),
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                       x -> x <> '')) AS word,
-                   generate_subscripts(list_filter(string_split(text, ' '),
-                                       x -> x <> ''), 1) AS pos
+                   generate_subscripts(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''), 1) AS pos
             FROM {src}
         ), {name} AS (
             SELECT DISTINCT {out_id}g AS gram FROM (

@@ -1,0 +1,120 @@
+"""End-to-end curation job (jobs/curate.py): every stage exercised by an
+engineered corpus — PII masked not dropped, junk dropped by quality,
+near-dups reduced to canonicals, eval overlap decontaminated, domain
+weights applied, manifest consistent with the surviving corpus."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_documents_spark.jobs.curate import run_curation
+
+LINES = [
+    "morning fog settled across the quiet harbor basin before dawn.",
+    "seven engineers reviewed an updated compaction design yesterday.",
+    "fresh bread needs patience and a lively sourdough starter.",
+    "the observatory logged seventeen meteor events last night.",
+    "crimson foxes darted over a frozen ridge at first light.",
+    "careful benchmarks separate real wins from measurement noise.",
+    "her garden produced tomatoes beyond every reasonable forecast.",
+    "distant thunder rolled while children finished their game.",
+]
+LINES_B = [
+    "ancient maps exaggerated coastlines their authors never sailed.",
+    "a patient violinist tuned each string against the cold hall.",
+    "migrating cranes traced silver arcs above the flooded fields.",
+    "the archivist labeled every negative with a steady pencil.",
+    "volcanic soil rewards the vineyards planted along its slopes.",
+    "night trains carry apples north before the first hard frost.",
+    "an honest ledger shortens every quarrel about the harvest.",
+    "telescopes on the plateau drink starlight through thin air.",
+]
+LINES_C = [
+    "river pilots memorize sandbars the charts refuse to admit.",
+    "two apprentices argued politely about the kiln temperature.",
+    "the lighthouse keeper mended nets between the long watches.",
+    "meltwater braided new channels through the gravel terrace.",
+    "a careful beekeeper reads the wind before opening a hive.",
+    "old printing presses demand patience and exact paper weight.",
+    "the survey crew triangulated the ridge before the storm.",
+    "market mornings begin with the smell of diesel and bread.",
+]
+GOOD = "\n".join(LINES)
+EVAL_SNIPPET = "name the seven wonders of the ancient world"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, GOOD, "web"),
+        (1, GOOD.replace("fog", "mist"), "web"),            # near-dup of 0
+        (2, "\n".join(LINES_B), "web"),                     # distinct good
+        (3, "\n".join(["identical spam line repeated now."] * 12), "web"),
+        (4, "\n".join(LINES_C[:4])
+            + "\nwrite to spy@leak.io for the appendix today.\n"
+            + "\n".join(LINES_C[4:]), "books"),             # PII carrier
+        (5, LINES_B[0] + "\n" + EVAL_SNIPPET + " quiz answer sheet here.\n"
+            + "\n".join(LINES_C[1:5]) + "\n"
+            + "the footnotes credit three separate expeditions entirely.",
+         "books"),                                          # contaminated
+        (6, "\n".join(l.replace("the", "that") for l in LINES_B[2:])
+            + "\nsix spare sentences keep this domain document afloat.",
+         "dropme"),                                         # weighted out
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(100, EVAL_SNIPPET)], "bench_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, bench, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curated"))
+    metrics = run_curation(
+        spark, corpus, bench=bench,
+        weights={"web": 1.0, "books": 1.0},   # 'dropme' -> default 0
+        seq_len=16, out_dir=out)
+    return metrics, out
+
+
+def test_funnel_counts(result):
+    metrics, _ = result
+    assert metrics["input"] == 7
+    assert metrics["after_quality"] == 6          # spam doc 3 gone
+    assert metrics["after_dedup"] == 5            # one of {0,1} gone
+    assert metrics["after_decontaminate"] == 4    # doc 5 gone
+    assert metrics["after_mixing"] == 3           # doc 6 (dropme) gone
+    order = ["input", "after_quality", "after_dedup",
+             "after_decontaminate", "after_mixing"]
+    vals = [metrics[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_pii_masked_not_dropped(spark, result):
+    _, out = result
+    kept = spark.read.parquet(f"{out}/corpus")
+    row = kept.filter(F.col("doc_id") == 4).collect()
+    assert row, "the PII doc must survive (masked), not be dropped"
+    assert "<EMAIL>" in row[0]["text"] and "spy@leak.io" not in row[0]["text"]
+
+
+def test_dedup_kept_canonical(spark, result):
+    _, out = result
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids      # min doc_id is the canonical
+
+
+def test_manifest_consistent_with_corpus(spark, result):
+    metrics, out = result
+    kept = spark.read.parquet(f"{out}/corpus")
+    total_tokens = kept.select(
+        F.sum(F.size(F.filter(F.split("text", " "),
+                              lambda w: w != "")))).first()[0]
+    assert metrics["train_tokens"] == total_tokens
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert metrics["manifest_slices"] == manifest.count()
+    assert metrics["train_sequences"] == \
+        manifest.agg(F.max("seq_id")).first()[0] + 1

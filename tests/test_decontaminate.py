@@ -62,3 +62,18 @@ def test_corpus_joins_are_broadcast_only(frames):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_overlap_across_line_break_detected(spark):
+    """Regression: the eval snippet split by a newline inside the
+    training doc must still hit — tokenization is whitespace-wide, so a
+    line boundary cannot hide contamination."""
+    docs = spark.createDataFrame(
+        [(0, "intro line before the leak\nwhat is\nthe capital of "
+             "france today\nclosing line after")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france")],
+        "bench_id long, text string")
+    rep = DC.contamination_report(docs, bench, k=6).collect()
+    assert rep and rep[0]["doc_id"] == 0 and rep[0]["n_hit_grams"] >= 1
