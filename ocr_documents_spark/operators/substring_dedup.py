@@ -40,14 +40,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over, words_col
+from .dedup import ngrams_over
+
+
+def _ws_words(text_col: str):
+    # whitespace-wide tokens: a duplicated passage must match whether a
+    # line break or a space separates its words in each copy (the
+    # rebuilt text therefore normalizes whitespace to single spaces)
+    return F.filter(F.split(text_col, "\\s+"), lambda w: w != "")
 
 K_WORDS = 20  # production default; Lee et al. use 50 BPE tokens
 
 
 def _token_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (docs
-            .select(id_col, words_col(text_col).alias("ws"))
+            .select(id_col, _ws_words(text_col).alias("ws"))
             .select(id_col, F.posexplode("ws").alias("pos", "word")))
 
 
@@ -61,7 +68,7 @@ def duplicate_spans(docs: DataFrame, k: int = K_WORDS,
     second pass, no window over the corpus.
     """
     grams = (docs
-             .select(id_col, words_col(text_col).alias("ws"))
+             .select(id_col, _ws_words(text_col).alias("ws"))
              .filter(F.size("ws") >= k)
              .repartition(id_col)   # materialization barrier: stop
              # Project-collapse re-inlining the split per gram element
@@ -144,10 +151,10 @@ def duckdb_remove_duplicate_spans_sql(k: int = K_WORDS) -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id,
-                   generate_subscripts(list_filter(string_split(text, ' '),
-                                                   x -> x <> ''), 1) - 1
-                       AS pos,
-                   unnest(list_filter(string_split(text, ' '),
+                   generate_subscripts(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''), 1) - 1 AS pos,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                       x -> x <> '')) AS word
             FROM documents
         ), grams AS (

@@ -127,3 +127,17 @@ def test_random_corpora_vs_oracle(spark, data):
     want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
         SD.duckdb_remove_duplicate_spans_sql(k)).fetchall()}
     assert got == want
+
+
+def test_duplicate_run_across_line_break(spark):
+    """A duplicated passage must be caught whether a newline or a space
+    separates its words in each copy; the rebuilt text normalizes
+    whitespace to single spaces."""
+    run = "alpha bravo charlie delta echo"
+    rows = [(0, f"lead in words {run} trailing text"),
+            (1, "other start\n" + run.replace(" ", "\n", 1)
+             + " closing words here")]
+    sdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _clean(sdocs, k=5)
+    assert got[0][0] == rows[0][1]              # canonical untouched
+    assert got[1] == ("other start closing words here", 5, 5)
