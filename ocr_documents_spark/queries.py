@@ -29,8 +29,7 @@ from pyspark.sql import functions as F
 from .extractors.boilerplate import CHUNK_WORDS as _BP_CHUNK
 from .extractors.boilerplate import MIN_TAIL_WORDS as _BP_TAIL
 from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select,
-                                md5_int60, simhash_bit_votes,
-                                simhash_from_votes)
+                                md5_int60)
 from .functions.vectors import cosine, seeded_sign_bands, sign_bucket_dims
 from .operators import dedup as D
 
@@ -524,11 +523,15 @@ def q15_simhash(spark, sf_dir):
     """16-bit SimHash: per-token 60-bit md5 hash, ±1 votes per bit.
 
     Votes fold per-row with aggregate() over the token-hash array — zero
-    shuffle, unlike the explode+groupBy formulation which moves every
-    token across the wire."""
+    shuffle.  Deliberately 16 per-bit aggregates, NOT the one-pass
+    struct fold q38 uses for 60 bits: measured A/B at sf0.1, the struct
+    accumulator's per-element construction costs more than 15 extra
+    scans of the long array at this width (1.35–1.46 s vs 1.56–1.74 s
+    best-of-3); the fold only wins when the bit count is large."""
     # hash pre-shuffle (the 8-byte hash array is SMALLER than the text);
     # the Exchange materializes it so the 16 per-bit aggregates below fold
     # over the stored array instead of re-hashing every token 16 times
+    from .functions.hashing import simhash_bit_votes, simhash_from_votes
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", _words_col().alias("words"))
             .filter(F.size("words") > 0)
