@@ -31,6 +31,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hot_keys(df: DataFrame, key_cols: Sequence[str] | str,
+             threshold_frac: float = 0.01) -> DataFrame:
+    """-> (key_cols..., n_rows, frac) for keys carrying more than
+    ``threshold_frac`` of the table — the detection half of the skew
+    story (feed the result into a salting decision, or log it from the
+    metrics sidecar).  One partial-aggregatable groupBy + a broadcast
+    1-row total; the output is by construction at most
+    1/threshold_frac rows, i.e. collectable."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("frac", F.round(F.col("n_rows") / F.col("__total"),
+                                        6))
+            .filter(F.col("frac") > threshold_frac)
+            .drop("__total"))
+
+
 def salted_join(large: DataFrame, small: DataFrame,
                 on: Sequence[str] | str, salt: int = 16,
                 how: str = "inner") -> DataFrame:

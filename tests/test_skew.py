@@ -5,7 +5,7 @@ the join key."""
 import pyspark.sql.functions as F
 import pytest
 
-from ocr_documents_spark.operators.skew import salted_join
+from ocr_documents_spark.operators.skew import hot_keys, salted_join
 
 
 @pytest.fixture(scope="module")
@@ -49,3 +49,11 @@ def test_rejects_unsupported_how(skewed):
     large, dim = skewed
     with pytest.raises(ValueError):
         salted_join(large, dim, "key", how="right")
+
+
+def test_hot_keys_detects_engineered_skew(skewed):
+    large, _ = skewed
+    hot = {r["key"]: (r["n_rows"], r["frac"])
+           for r in hot_keys(large, "key", threshold_frac=0.05).collect()}
+    assert set(hot) == {"hot"}
+    assert hot["hot"][0] == 1800 and hot["hot"][1] == 0.9
