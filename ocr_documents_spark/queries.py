@@ -1186,6 +1186,26 @@ def q34_ann_ivf(spark, sf_dir):
                     candidate_filter=F.col("vec_id") >= 5)
 
 
+def q54_cohort_retention(spark, sf_dir):
+    """Cohort retention (outside the 50-entry driver registry;
+    oracle-checked in tests/test_registry_extras.py): users cohorted by
+    first-event month, counted distinct per (cohort, month-offset).
+    Two aggregations co-keyed on user_id (the cohort assignment joins
+    back broadcast-free on the same shuffle key), then a cohort-grid
+    count — the standard growth-analytics rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("month", "ts").alias("m"))
+    cohort = ev.groupBy("user_id").agg(F.min("m").alias("cohort_month"))
+    active = ev.distinct()
+    return (active.join(cohort, "user_id")
+            .select("user_id", "cohort_month",
+                    (F.months_between("m", "cohort_month").cast("int"))
+                    .alias("month_offset"))
+            .groupBy(F.date_format("cohort_month", "yyyy-MM")
+                     .alias("cohort"), "month_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
 def q33_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) next to the exact count — the cheap
     per-partition lineage census the metrics sidecar uses (SURVEY.md §2.7).
@@ -1848,6 +1868,20 @@ ORACLE_SQL: dict[str, str] = {
     # q33 intentionally absent here: approx_count_distinct sketches are
     # engine-specific by construction — its bounds check lives in pytest
     # (tests/test_registry_extras.py), outside the driver registry.
+    # q54 cohort retention: pytest-extra (the registry is capped at 50)
+    "q54_cohort_retention": """
+        WITH ev AS (
+            SELECT user_id, date_trunc('month', ts) AS m FROM events),
+        cohort AS (
+            SELECT user_id, min(m) AS cohort_month FROM ev GROUP BY 1),
+        active AS (SELECT DISTINCT user_id, m FROM ev)
+        SELECT strftime(c.cohort_month, '%Y-%m') AS cohort,
+               CAST(datediff('month', c.cohort_month, a.m) AS INTEGER)
+                   AS month_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
 }
 
 # The driver samples the 50 lexicographically-first registry entries for

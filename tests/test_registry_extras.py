@@ -96,3 +96,14 @@ def test_q48_materialized_doc_terms_identical(spark, tmp_path):
     pd.testing.assert_frame_equal(base, mat)
     import os
     assert os.path.isdir(str(tmp_path / "q48_doc_terms.parquet"))
+
+
+def test_q54_cohort_retention_vs_oracle(spark):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{SF_DIR}/events.parquet'")
+    got = _normalize(Q.q54_cohort_retention(spark, SF_DIR).toPandas())
+    want = _normalize(
+        con.execute(Q.ORACLE_SQL["q54_cohort_retention"]).fetchdf())
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
