@@ -24,21 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over
+from .dedup import ngrams_over, ws_words_col
 
 K_WORDS = 8  # published pipelines use 8-13 word windows
-
-
-def _ws_words(text_col: str):
-    # split on ANY whitespace: a newline-joined token pair would
-    # otherwise hide a benchmark overlap that crosses a line break
-    return F.filter(F.split(text_col, "\\s+"), lambda w: w != "")
 
 
 def _doc_grams(docs: DataFrame, k: int, id_col: str,
                text_col: str) -> DataFrame:
     return (docs
-            .select(id_col, _ws_words(text_col).alias("ws"))
+            .select(id_col, ws_words_col(text_col).alias("ws"))
             .filter(F.size("ws") >= k)
             .select(id_col,
                     F.explode(F.array_distinct(
@@ -50,7 +44,7 @@ def benchmark_grams(bench: DataFrame, k: int = K_WORDS,
     """-> one-column (gram) table of the eval set's distinct k-grams.
     Small by construction; persist/broadcast it."""
     return (bench
-            .select(_ws_words(text_col).alias("ws"))
+            .select(ws_words_col(text_col).alias("ws"))
             .filter(F.size("ws") >= k)
             .select(F.explode(ngrams_over(F.col("ws"), k)).alias("gram"))
             .distinct())
@@ -73,13 +67,17 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = K_WORDS,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """The clean corpus: every input column, minus documents sharing any
-    k-gram with the benchmark.  One broadcast anti-join; zero corpus
-    shuffle (plan-asserted in tests)."""
+    k-gram with the benchmark.  Only the EVAL grams carry a broadcast
+    hint (small by construction); the contaminated-id set is
+    corpus-derived and unbounded — one common boilerplate 8-gram in an
+    eval doc can mark a large corpus fraction — so its anti-join is left
+    to the planner/AQE, which broadcasts when it measures small and
+    shuffles when it does not."""
     contaminated = (_doc_grams(docs, k, id_col, text_col)
                     .join(F.broadcast(benchmark_grams(bench, k, text_col)),
                           "gram")
                     .select(id_col).distinct())
-    return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+    return docs.join(contaminated, id_col, "left_anti")
 
 
 def duckdb_contamination_sql(k: int = K_WORDS) -> str:

@@ -64,7 +64,20 @@ HASH_B = [_rng.randrange(0, 1 << 40) for _ in range(MAX_HASHES)]
 
 
 def words_col(text_col: str = "text"):
+    """Single-space word split — the MinHash family's tokenization, kept
+    as-is because the q13/q14/q16/q35 DuckDB oracles are locked to
+    ``string_split(text, ' ')``."""
     return F.filter(F.split(text_col, " "), lambda x: x != "")
+
+
+def ws_words_col(text_col):
+    """Whitespace-wide word split (\\s+) — THE shared tokenizer for the
+    curation operators (quality filters, substring dedup,
+    decontamination, packing): a newline or tab must separate words
+    exactly like a space does, or line breaks hide duplicate passages /
+    benchmark overlaps and shift packing offsets.  Accepts a column name
+    or Column."""
+    return F.filter(F.split(text_col, "\\s+"), lambda w: w != "")
 
 
 def ngrams_over(words, n: int):

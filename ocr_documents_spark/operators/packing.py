@@ -42,6 +42,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ws_words_col
 from .rank import with_global_cumsum
 
 
@@ -49,13 +50,16 @@ def pack_sequences(docs: DataFrame, seq_len: int,
                    id_col: str = "doc_id",
                    text_col: str = "text",
                    order_cols: Sequence[Column] | None = None) -> DataFrame:
-    """-> the packing manifest (see module docstring)."""
+    """-> the packing manifest (see module docstring).  Token = the
+    curation family's shared whitespace word (ws_words_col) so manifest
+    offsets agree with any whitespace tokenizer and with the sibling
+    operators — a space-only split would fuse newline-adjacent words
+    and shift every slice boundary after a multi-line document."""
     if order_cols is None:
         order_cols = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     toks = (docs
             .select(id_col,
-                    F.size(F.filter(F.split(text_col, " "),
-                                    lambda w: w != "")).alias("n_tokens"))
+                    F.size(ws_words_col(text_col)).alias("n_tokens"))
             .filter(F.col("n_tokens") > 0))
     offs = with_global_cumsum(toks, order_cols, "n_tokens",
                               out_col="offset")
@@ -82,8 +86,8 @@ def duckdb_pack_sql(seq_len: int) -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), x -> x <> ''))
-                       AS n_tokens
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS n_tokens
             FROM documents
         ), nz AS (
             SELECT * FROM toks WHERE n_tokens > 0

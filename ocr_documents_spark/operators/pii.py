@@ -57,8 +57,10 @@ def pii_census(docs: DataFrame, id_col: str = "doc_id",
     match counts BEFORE masking — the audit row.  Counts apply the same
     sequential-masking discipline as redaction (each category counts on
     text already masked by the previous categories), so
-    sum(counts) == number of substitutions redact_pii performs."""
-    cols, cur = [], F.col(text_col)
+    sum(counts) == number of substitutions redact_pii performs.  NULL
+    text counts as zero everywhere (not NULL): a boolean filter on
+    ``has_pii`` must partition the corpus into exactly two buckets."""
+    cols, cur = [], F.coalesce(F.col(text_col), F.lit(""))
     for name, pattern, token in PII_RULES:
         cols.append(F.size(F.regexp_extract_all(cur, F.lit(pattern), 0))
                     .alias(f"n_{name}"))

@@ -46,10 +46,8 @@ MAX_TOP_2GRAM_CHAR_FRAC = 0.2
 
 
 def _words(col: str = "text"):
-    # split on ANY whitespace: newline-joined tokens must not fuse (the
-    # dedup module's space-only split matches ITS oracle; these metrics
-    # are line-aware so \s+ is the correct boundary here)
-    return F.filter(F.split(col, "\\s+"), lambda w: w != "")
+    from .dedup import ws_words_col
+    return ws_words_col(col)
 
 
 def line_repetition_metrics(docs: DataFrame,
@@ -134,16 +132,24 @@ def gopher_quality_metrics(docs: DataFrame,
         lines, lambda l: F.trim(l).rlike("^([-*•])")))
     ellipsis_lines = F.size(F.filter(
         lines, lambda l: F.trim(l).rlike("\\.\\.\\.$")))
-    mean_wl = (F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x))
-               / n_words)
+    # try_divide, not '/': under Spark 4's default ANSI mode a plain
+    # division by zero THROWS — an empty/whitespace-only document must
+    # instead yield NULL metrics and ride the documented fail-closed
+    # path in quality_filter_report, never abort the job
+    mean_wl = F.try_divide(
+        F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x)), n_words)
     return docs.select(
         id_col,
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbols / n_words, 6).alias("symbol_word_ratio"),
-        F.round(bullet_lines / n_lines, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_words / n_words, 6).alias("alpha_word_frac"))
+        F.round(F.try_divide(symbols, n_words), 6)
+        .alias("symbol_word_ratio"),
+        F.round(F.try_divide(bullet_lines, n_lines), 6)
+        .alias("bullet_line_frac"),
+        F.round(F.try_divide(ellipsis_lines, n_lines), 6)
+        .alias("ellipsis_line_frac"),
+        F.round(F.try_divide(alpha_words, n_words), 6)
+        .alias("alpha_word_frac"))
 
 
 C4_MIN_WORDS_PER_LINE = 3

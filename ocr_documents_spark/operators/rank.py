@@ -79,10 +79,13 @@ def with_global_cumsum(df: DataFrame, order_cols: Sequence[Column],
     order_cols = list(order_cols)
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # NO integer casts anywhere: the running sum keeps value_col's own
+    # numeric type (a cast('long') here silently floor-truncated each
+    # partition's partial sum for fractional inputs, compounding with
+    # partition count)
     tagged = (df.repartitionByRange(parts, *order_cols)
               .withColumn("__pid", F.spark_partition_id()))
-    totals = tagged.groupBy("__pid").agg(
-        F.sum(value_col).cast("long").alias("__t"))
+    totals = tagged.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
     offsets = (totals
                .join(totals.select(F.col("__pid").alias("__q"),
                                    F.col("__t").alias("__m")),
@@ -93,7 +96,7 @@ def with_global_cumsum(df: DataFrame, order_cols: Sequence[Column],
                .rowsBetween(Window.unboundedPreceding, -1))
     return (tagged
             .withColumn("__lsum", F.coalesce(
-                F.sum(value_col).over(w_local).cast("long"), F.lit(0)))
+                F.sum(value_col).over(w_local), F.lit(0)))
             .join(F.broadcast(offsets), "__pid")
             .withColumn(out_col, F.col("__off") + F.col("__lsum"))
             .drop("__pid", "__lsum", "__off"))

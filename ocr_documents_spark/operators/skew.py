@@ -42,10 +42,12 @@ def hot_keys(df: DataFrame, key_cols: Sequence[str] | str,
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     total = df.agg(F.count(F.lit(1)).alias("__total"))
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    # threshold on the RAW ratio; round only the reported column — a key
+    # at frac 0.0100004 must not round down to 0.01 and dodge detection
     return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("n_rows") / F.col("__total") > threshold_frac)
             .withColumn("frac", F.round(F.col("n_rows") / F.col("__total"),
                                         6))
-            .filter(F.col("frac") > threshold_frac)
             .drop("__total"))
 
 

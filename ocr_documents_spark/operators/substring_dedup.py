@@ -40,21 +40,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over
+from .dedup import ngrams_over, ws_words_col
 
-
-def _ws_words(text_col: str):
-    # whitespace-wide tokens: a duplicated passage must match whether a
-    # line break or a space separates its words in each copy (the
-    # rebuilt text therefore normalizes whitespace to single spaces)
-    return F.filter(F.split(text_col, "\\s+"), lambda w: w != "")
+# whitespace-wide tokens (shared ws_words_col): a duplicated passage
+# must match whether a line break or a space separates its words in
+# each copy; the rebuilt text therefore normalizes whitespace to
+# single spaces.
 
 K_WORDS = 20  # production default; Lee et al. use 50 BPE tokens
 
 
 def _token_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (docs
-            .select(id_col, _ws_words(text_col).alias("ws"))
+            .select(id_col, ws_words_col(text_col).alias("ws"))
             .select(id_col, F.posexplode("ws").alias("pos", "word")))
 
 
@@ -68,7 +66,7 @@ def duplicate_spans(docs: DataFrame, k: int = K_WORDS,
     second pass, no window over the corpus.
     """
     grams = (docs
-             .select(id_col, _ws_words(text_col).alias("ws"))
+             .select(id_col, ws_words_col(text_col).alias("ws"))
              .filter(F.size("ws") >= k)
              .repartition(id_col)   # materialization barrier: stop
              # Project-collapse re-inlining the split per gram element

@@ -111,7 +111,7 @@ def test_manifest_consistent_with_corpus(spark, result):
     metrics, out = result
     kept = spark.read.parquet(f"{out}/corpus")
     total_tokens = kept.select(
-        F.sum(F.size(F.filter(F.split("text", " "),
+        F.sum(F.size(F.filter(F.split("text", r"\s+"),
                               lambda w: w != "")))).first()[0]
     assert metrics["train_tokens"] == total_tokens
     manifest = spark.read.parquet(f"{out}/manifest")

@@ -51,17 +51,23 @@ def test_decontaminate_drops_only_contaminated(frames):
     assert kept == [1, 3]
 
 
-def test_corpus_joins_are_broadcast_only(frames):
-    """Scale shape: every join the corpus participates in is broadcast
-    (eval grams + contaminated-id set are the small sides); the only
-    Exchanges left are the tiny bench-side/id-set distincts — the corpus
-    itself is never the shuffled side of a join."""
+def test_gram_join_is_broadcast(frames):
+    """Scale shape: the corpus-side GRAM join (the full-corpus probe)
+    must broadcast the eval grams — the corpus is never shuffled on the
+    gram key.  The contaminated-ID anti-join deliberately carries NO
+    hint (that set is corpus-derived and unbounded — one common eval
+    8-gram could mark a huge corpus fraction, and a forced broadcast
+    would OOM the driver); its static plan may show a sort-merge join
+    that AQE downgrades to broadcast when the measured set is small."""
     docs, bench = frames
     plan = DC.decontaminate(docs, bench, K) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("gram" in l for l in bhj), plan
+    # and no join SHUFFLES the corpus on the gram key
+    for l in plan.splitlines():
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l:
+            assert "gram" not in l, l
 
 
 def test_overlap_across_line_break_detected(spark):

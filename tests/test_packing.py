@@ -53,7 +53,7 @@ def test_documents_fully_covered(spark, manifest):
     ntok = {r["doc_id"]: r["n"]
             for r in docs.select(
                 "doc_id",
-                F.size(F.filter(F.split("text", " "),
+                F.size(F.filter(F.split("text", r"\s+"),
                                 lambda w: w != "")).alias("n")).collect()}
     per_doc = {}
     for r in manifest:
@@ -80,5 +80,5 @@ def test_plan_never_explodes_tokens(spark):
     n_docs = docs.count()
     total_tokens = sum(
         r["n"] for r in docs.selectExpr(
-            "size(filter(split(text, ' '), w -> w != '')) as n").collect())
+            r"size(filter(split(text, '\\s+'), w -> w != '')) as n").collect())
     assert df.count() <= total_tokens // L + 1 + n_docs

@@ -60,3 +60,16 @@ def test_census_counts_match_substitutions(docs):
         assert c["has_pii"] == (total > 0)
     assert census[5]["n_email"] == 2 or (
         census[5]["n_email"] == 1 and census[5]["n_ip"] >= 1)
+
+
+def test_null_text_counts_zero_not_null(spark):
+    """Review finding: NULL text produced NULL counts/has_pii, so a
+    boolean filter dropped those docs from BOTH buckets."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "mail bob@host.org")], "doc_id long, text string")
+    rep = {r["doc_id"]: r.asDict() for r in P.pii_census(docs).collect()}
+    assert rep[1]["n_email"] == 0 and rep[1]["has_pii"] is False
+    assert rep[2]["has_pii"] is True
+    both = docs.join(P.pii_census(docs), "doc_id")
+    assert both.filter(~F.col("has_pii")).count() \
+        + both.filter(F.col("has_pii")).count() == 2

@@ -158,3 +158,19 @@ def test_quality_filter_report_keep_decisions(spark):
     assert rep[11]["keep"] is False and rep[11]["ok_dup_lines"] is False
     assert rep[12]["keep"] is False and rep[12]["ok_word_count"] is False
     assert rep[13]["keep"] is False and rep[13]["ok_top_2gram"] is False
+
+
+def test_empty_and_whitespace_docs_fail_closed_not_crash(spark):
+    """Review finding: under Spark 4's default ANSI mode the metric
+    divisions threw DIVIDE_BY_ZERO for empty/whitespace-only docs.  They
+    must instead yield NULL metrics and fail closed in the report."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\n"),
+         (4, "one normal sentence that still fails the word-count rule.")],
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r.asDict()
+           for r in QF.quality_filter_report(docs).collect()}
+    assert set(rep) == {1, 2, 3, 4}
+    for d in (1, 2, 3):
+        assert rep[d]["keep"] is False
+        assert rep[d]["ok_mean_word_len"] is False  # NULL -> fail closed

@@ -54,3 +54,14 @@ def test_grouped_top_k_matches_window_definition(data, salt):
             for r in data.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 7).collect()}
     assert got == want
+
+
+def test_global_cumsum_double_values_exact(spark):
+    """Review finding: a cast('long') floor-truncated each partition's
+    partial sum for fractional inputs.  Doubles must sum exactly."""
+    df = spark.createDataFrame(
+        [(i, 2.5) for i in range(9)], "id long, v double")
+    got = {r["id"]: r["cs"]
+           for r in with_global_cumsum(df, [F.asc("id")], "v", "cs",
+                                       num_partitions=3).collect()}
+    assert got == {i: i * 2.5 for i in range(9)}
