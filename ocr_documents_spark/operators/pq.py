@@ -1,0 +1,252 @@
+"""Product quantization (PQ): compressed-domain ANN scoring.
+
+The second half of the classic IVF-PQ recipe (Jégou et al., TPAMI 2011
+— operators/ivf.py implements the coarse-quantizer half): split each
+vector into ``m`` subvectors, k-means a tiny codebook per subspace, and
+store each vector as ``m`` small codes.  At 64 dims with 4 subspaces of
+16 codes, a stored vector is 4 bytes instead of 256 — the 64×
+compression that lets a 10^12-vector index live in executor memory.
+
+Queries score candidates WITHOUT decompressing (asymmetric distance
+computation, ADC): per query, a distance table to every sub-centroid
+(m×k rows — broadcast-sized), and a candidate's approximate distance is
+the sum of m table lookups keyed by its codes.  The deployment pattern
+is shortlist-then-rerank: ADC ranks a shortlist cheaply, exact cosine
+re-ranks the shortlist only (:func:`pq_rerank_topk`) — the corpus-wide
+work touches codes, never raw vectors.
+
+Engine shape:
+
+* training reuses ``ivf.train_centroids`` per subspace (Lloyd's as
+  DataFrames on the deterministic md5 hash-sample, rounded centroids);
+* encode = m broadcast nearest-centroid assignments, one row per vector
+  with its m codes (the compressed index table);
+* ADC = unpivot codes to (vec_id, sub, code), broadcast-join the
+  per-query distance tables on (sub, code), sum per (query, vec) —
+  joins and aggregations only, no per-row Python;
+* every ordering input is rounded on both engines; the DuckDB twin
+  unrolls the same training and scores the same tables.
+
+Recall readout (the honest numbers, tests/test_pq.py): this synthetic
+corpus has NEAR-RANDOM similarity structure (max off-diagonal cosine
+~0.5 — the same property that forces ivf's nprobe=5/8), which is the
+worst case for any fixed-rate compressor: measured rerank recall@3 vs
+exact is 0.87 at sf0.001 with shortlist=100, degrading with corpus size
+at fixed shortlist (0.73 @ sf0.01, 0.40-0.67 @ sf0.1 even at a 10%
+shortlist) because quantization error is commensurate with the
+inter-point distances themselves.  When actual neighbor structure
+exists — the engineered cos~0.9997 pairs — PQ finds every true
+neighbor at rank 1 with a tiny shortlist (tested), which is the regime
+a real embedding corpus lives in.  Production pairs this with the ivf
+coarse quantizer (IVF-PQ) so the shortlist is per-cell, not global.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .ivf import TRAIN_SAMPLE_MOD, _as_double, _dist2, train_centroids
+
+M_SUBS = 4          # subspaces (64-dim corpus -> 16 dims each)
+K_CODES = 16        # centroids per subspace (4-bit codes)
+PQ_ITERS = 2
+# deterministic, SF-independent seed vector ids per subspace codebook
+# (stride-31 keeps them inside every tier's id range)
+PQ_INIT_IDS = [5 + 31 * i for i in range(K_CODES)]
+SHORTLIST = 100     # ADC shortlist size the exact rerank touches
+
+
+def _sub_emb(emb: DataFrame, s: int, width: int) -> DataFrame:
+    """(vec_id, embedding[s*width : (s+1)*width]) — 1-based slice."""
+    return emb.select(
+        "vec_id", F.slice("embedding", s * width + 1, width)
+        .alias("embedding"))
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = M_SUBS,
+                       iters: int = PQ_ITERS,
+                       sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+    """-> (sub, code, cvec): m independent sub-codebooks, each trained
+    with the ivf module's sampled Lloyd's on its slice of the corpus."""
+    e = _as_double(emb)
+    width = _dim(emb) // m
+    parts = []
+    for s in range(m):
+        cb = train_centroids(_sub_emb(e, s, width), init_ids=PQ_INIT_IDS,
+                             iters=iters, sample_mod=sample_mod)
+        parts.append(cb.select(F.lit(s).alias("sub"),
+                               F.col("cell").alias("code"), "cvec"))
+    return reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint()
+
+
+def _dim(emb: DataFrame) -> int:
+    return len(emb.select("embedding").first()["embedding"])
+
+
+def encode_pq(emb: DataFrame, codebooks: DataFrame,
+              m: int = M_SUBS) -> DataFrame:
+    """-> (vec_id, sub, code): the compressed index in long form (the
+    storage layout a lake table would use, partitioned however the
+    coarse quantizer dictates).  Nearest sub-centroid by rounded squared
+    L2 with code tie-break — same rule as the ivf assignment."""
+    e = _as_double(emb)
+    width = _dim(emb) // m
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"),
+                                                    F.asc("code"))
+    subs = [
+        _sub_emb(e, s, width).withColumn("sub", F.lit(s)) for s in range(m)]
+    stacked = reduce(lambda a, b: a.unionByName(b), subs)
+    return (stacked.join(F.broadcast(codebooks), "sub")
+            .withColumn("d2", _dist2(F.col("embedding"), F.col("cvec")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "sub", "code"))
+
+
+def pq_adc_scores(emb: DataFrame, query_filter, candidate_filter,
+                  m: int = M_SUBS, iters: int = PQ_ITERS,
+                  sample_mod: int = TRAIN_SAMPLE_MOD,
+                  codebooks: DataFrame | None = None) -> DataFrame:
+    """-> (query_id, vec_id, adc_d2): compressed-domain distances of
+    every candidate to every query — sum over subspaces of the rounded
+    (query-subvector, assigned-code-centroid) squared L2."""
+    cb = (codebooks if codebooks is not None
+          else train_pq_codebooks(emb, m, iters, sample_mod))
+    codes = encode_pq(emb.filter(candidate_filter), cb, m)
+    e = _as_double(emb)
+    width = _dim(emb) // m
+    q_subs = reduce(lambda a, b: a.unionByName(b), [
+        _sub_emb(e.filter(query_filter), s, width)
+        .select(F.col("vec_id").alias("query_id"),
+                F.lit(s).alias("sub"), F.col("embedding").alias("qv"))
+        for s in range(m)])
+    # the per-query distance TABLE: m*k rows per query, broadcast-sized
+    dtab = (q_subs.join(F.broadcast(cb), "sub")
+            .select("query_id", "sub", "code",
+                    _dist2(F.col("qv"), F.col("cvec")).alias("d2")))
+    return (codes.join(dtab, ["sub", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg((F.round(F.sum("d2"), 4) + 0.0).alias("adc_d2")))
+
+
+def pq_rerank_topk(emb: DataFrame, query_filter, candidate_filter,
+                   k: int = 3, shortlist: int = SHORTLIST,
+                   m: int = M_SUBS, iters: int = PQ_ITERS,
+                   sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+    """The deployment path: ADC shortlist per query (compressed-domain,
+    corpus-wide), exact cosine re-rank of the shortlist only ->
+    (query_id, neighbor_id, cos, rank).  Raw vectors are touched for
+    shortlist*queries rows, not the corpus."""
+    adc = pq_adc_scores(emb, query_filter, candidate_filter,
+                        m, iters, sample_mod)
+    w_sl = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
+                                                  F.asc("vec_id"))
+    short = (adc.withColumn("r", F.row_number().over(w_sl))
+             .filter(F.col("r") <= shortlist)
+             .select("query_id", "vec_id"))
+    e = _as_double(emb)
+    qv = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.filter(candidate_filter).select(
+        F.col("vec_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (short.join(qv, "query_id").join(cv, "vec_id")
+            .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                        + 0.0)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle (same math: per-subspace Lloyd's unrolled, ADC, rerank)
+# ---------------------------------------------------------------------------
+
+def duckdb_pq_rerank_sql(dim: int, query_pred: str = "vec_id < 5",
+                         cand_pred: str = "vec_id >= 5",
+                         k: int = 3, shortlist: int = SHORTLIST,
+                         m: int = M_SUBS, iters: int = PQ_ITERS,
+                         sample_mod: int = TRAIN_SAMPLE_MOD) -> str:
+    """Exact twin over an ``embeddings(vec_id, embedding)`` view ->
+    (query_id, neighbor_id, cos, rank)."""
+    from .ivf import _duck_assign, _duck_recompute
+    width = dim // m
+    seed_values = ", ".join(
+        f"({v}, {i})" for i, v in enumerate(PQ_INIT_IDS))
+    parts = [f"""e AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE))
+                       AS embedding
+            FROM embeddings
+        )"""]
+    enc_unions, dtab_unions = [], []
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        parts.append(f"""es{s} AS (
+            SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM e
+        ),
+        c{s}_0 AS (
+            SELECT mm.cell, x.embedding AS cvec
+            FROM es{s} x JOIN (VALUES {seed_values}) mm(vid, cell)
+              ON x.vec_id = mm.vid
+        )""")
+        train_src = (f"es{s}" if sample_mod <= 1 else f"""(
+            SELECT vec_id, embedding FROM es{s}
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % {sample_mod} = 0)""")
+        for i in range(iters):
+            parts.append(_duck_assign(train_src, f"c{s}_{i}", f"a{s}_{i}"))
+            parts.append(_duck_recompute(f"a{s}_{i}", f"c{s}_{i + 1}"))
+        parts.append(_duck_assign(
+            f"(SELECT vec_id, embedding FROM es{s} WHERE {cand_pred})",
+            f"c{s}_{iters}", f"enc{s}"))
+        enc_unions.append(
+            f"SELECT vec_id, {s} AS sub, cell AS code FROM enc{s}")
+        from .ivf import _D2
+        d2 = _D2.format(v="q.embedding", c="c.cvec")
+        dtab_unions.append(f"""
+            SELECT q.vec_id AS query_id, {s} AS sub, c.cell AS code,
+                   {d2} AS d2
+            FROM (SELECT vec_id, embedding FROM es{s}
+                  WHERE {query_pred}) q
+            CROSS JOIN c{s}_{iters} c""")
+    parts.append("codes AS (" + " UNION ALL ".join(enc_unions) + ")")
+    parts.append("dtab AS (" + " UNION ALL ".join(dtab_unions) + ")")
+    parts.append(f"""adc AS (
+            SELECT d.query_id, c.vec_id,
+                   round(sum(d.d2), 4) + 0.0 AS adc_d2
+            FROM codes c JOIN dtab d USING (sub, code)
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2 ASC, vec_id ASC) AS r
+                FROM adc) WHERE r <= {shortlist}
+        ),
+        rer AS (
+            SELECT s.query_id, s.vec_id AS neighbor_id,
+                   round(list_dot_product(q.embedding, x.embedding)
+                         / (sqrt(list_dot_product(q.embedding, q.embedding))
+                            * sqrt(list_dot_product(x.embedding,
+                                                    x.embedding))), 4)
+                       + 0.0 AS cos
+            FROM short s
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e x ON x.vec_id = s.vec_id
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM rer)
+        WHERE rank <= {k}
+    """
