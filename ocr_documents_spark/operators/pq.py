@@ -250,3 +250,76 @@ def duckdb_pq_rerank_sql(dim: int, query_pred: str = "vec_id < 5",
             FROM rer)
         WHERE rank <= {k}
     """
+
+
+def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
+               k: int = 3, nprobe: int | None = None,
+               shortlist: int = SHORTLIST,
+               m: int = M_SUBS, iters: int = PQ_ITERS,
+               sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+    """IVF-PQ, the full production index: the ivf coarse quantizer
+    routes each query to its ``nprobe`` nearest cells, PQ codes score
+    ONLY the probed cells' members in the compressed domain, and exact
+    cosine re-ranks the shortlist -> (query_id, neighbor_id, cos, rank).
+
+    Cost shape at 10^12 vectors: the stored index is (cell, m codes)
+    per vector — cell is the partition key, codes are 4 bytes — so a
+    query reads nprobe/k_cells of a 4-byte-per-vector table and touches
+    raw vectors only for ``shortlist`` rows.  Composes the two trained
+    quantizers this module family already oracle-checks; the composed
+    semantics are property-tested (tests/test_pq.py) rather than
+    SQL-twinned — both constituent pipelines carry exact oracles.
+    """
+    from .ivf import NPROBE, _nearest_cell, train_centroids as train_coarse
+    nprobe = NPROBE if nprobe is None else nprobe
+    e = _as_double(emb)
+    coarse = train_coarse(emb, sample_mod=sample_mod)
+    cb = train_pq_codebooks(emb, m, iters, sample_mod)
+
+    # stored index: (vec_id, cell) + (vec_id, sub, code)
+    cands = e.filter(candidate_filter)
+    cand_cells = _nearest_cell(cands, coarse).select("vec_id", "cell")
+    codes = encode_pq(cands, cb, m).join(cand_cells, "vec_id")
+
+    # probe: top-nprobe cells per query (the ivf probe rule)
+    q = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qfull"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(coarse))
+              .withColumn("d2", _dist2(F.col("qfull"), F.col("cvec")))
+              .withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("query_id", "cell"))
+
+    # ADC over probed cells only
+    width = _dim(emb) // m
+    q_subs = reduce(lambda a, b: a.unionByName(b), [
+        _sub_emb(e.filter(query_filter), s, width)
+        .select(F.col("vec_id").alias("query_id"),
+                F.lit(s).alias("sub"), F.col("embedding").alias("qv"))
+        for s in range(m)])
+    dtab = (q_subs.join(F.broadcast(cb), "sub")
+            .select("query_id", "sub", "code",
+                    _dist2(F.col("qv"), F.col("cvec")).alias("d2")))
+    probed_codes = codes.join(probes, "cell").select(
+        "query_id", "vec_id", "sub", "code")
+    adc = (probed_codes.join(dtab, ["query_id", "sub", "code"])
+           .groupBy("query_id", "vec_id")
+           .agg((F.round(F.sum("d2"), 4) + 0.0).alias("adc_d2")))
+
+    w_sl = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
+                                                  F.asc("vec_id"))
+    short = (adc.withColumn("r", F.row_number().over(w_sl))
+             .filter(F.col("r") <= shortlist)
+             .select("query_id", "vec_id"))
+    cv = cands.select("vec_id", F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (short.join(q, "query_id").join(cv, "vec_id")
+            .withColumn("cos",
+                        F.round(cosine(F.col("qfull"), F.col("cv")), 4)
+                        + 0.0)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank"))

@@ -89,3 +89,44 @@ def test_strong_neighbors_found_at_rank1_with_tiny_shortlist(spark, emb):
                candidate_filter=F.col("vec_id") < NEARDUP_OFFSET,
                k=1, shortlist=10).collect()}
     assert top == {i + NEARDUP_OFFSET: i for i in range(NEARDUP_N)}
+
+
+def test_ivfpq_composition(spark, emb):
+    """IVF-PQ end to end: the composed index must (a) return exactly k
+    ranked rows per query with valid candidates, (b) find every
+    engineered strong neighbor at rank 1 (the structure-exists regime),
+    and (c) agree with plain PQ rerank when probing ALL cells (nprobe =
+    k_cells makes the coarse stage a no-op filter)."""
+    from ocr_documents_spark.operators.ivf import K_CELLS
+    from ocr_documents_spark.queries import (NEARDUP_N, NEARDUP_OFFSET,
+                                             NEARDUP_SCALE, NEARDUP_SHIFT)
+    eng = (emb.filter(F.col("vec_id") < NEARDUP_N)
+           .select((F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda v: v * NEARDUP_SCALE + NEARDUP_SHIFT)
+                   .alias("embedding")))
+    uni = emb.unionByName(eng)
+    qf = F.col("vec_id") >= NEARDUP_OFFSET
+    cf = F.col("vec_id") < NEARDUP_OFFSET
+
+    # (c) full probe == plain PQ rerank, row for row
+    full = sorted(tuple(r) for r in PQ.ivfpq_topk(
+        uni, qf, cf, nprobe=K_CELLS, shortlist=10).collect())
+    plain = sorted(tuple(r) for r in PQ.pq_rerank_topk(
+        uni, qf, cf, shortlist=10).collect())
+    assert full == plain
+
+    # (a)+(b) partial probe still finds every strong neighbor at rank 1
+    got = PQ.ivfpq_topk(uni, qf, cf, nprobe=5, shortlist=10).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in per_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    found = sum(1 for i in range(NEARDUP_N)
+                if top1.get(i + NEARDUP_OFFSET) == i)
+    # a strong pair can only be missed if query and source straddle a
+    # cell boundary AND the probe skips the source's cell — rare at
+    # nprobe=5 of 8
+    assert found >= NEARDUP_N - 2, top1
