@@ -5,12 +5,19 @@ Standard pre-training hygiene (GPT-3 appendix C; PaLM; Llama): a
 training document is CONTAMINATED if it shares any ``k``-word window
 with any benchmark document.  Relational shape:
 
-* the benchmark side is tiny (eval suites are thousands of rows, not
-  billions) — its distinct k-grams build once and BROADCAST;
+* the benchmark side is usually tiny (eval suites are thousands of
+  rows, not billions) — its distinct k-grams build once and BROADCAST;
 * the corpus side streams through a per-row HOF gram builder (the dedup
   module's zero-shuffle ngrams) and a broadcast LEFT SEMI join marks
   hits — the corpus never shuffles at all, so the operator runs at scan
   speed at 100 TB;
+* when the eval suite is NOT broadcast-sized (a consolidated eval
+  registry of thousands of benchmarks), ``mode="shuffle"`` switches to
+  a hash-partitioned join on the 15-hex md5 gram FINGERPRINT (the same
+  primitive substring_dedup's census shuffles): both sides shuffle
+  fixed-width 15-byte keys instead of k-word strings, and the planner /
+  AQE picks the join strategy unforced.  ``mode="auto"`` counts the
+  eval grams (an action on the SMALL side only) and picks;
 * :func:`contamination_report` keeps per-doc evidence (which grams hit,
   how many) for audit; :func:`decontaminate` returns the clean corpus
   (drop mode — the conservative default used by the published
@@ -27,6 +34,10 @@ from pyspark.sql import functions as F
 from .dedup import ngrams_over, ws_words_col
 
 K_WORDS = 8  # published pipelines use 8-13 word windows
+# mode="auto" broadcasts the eval grams below this count (~15 bytes/fp
+# hashed + string payload; 3M grams is comfortably under the default
+# 8GB broadcast-table ceiling) and shuffles fingerprints above it
+BROADCAST_GRAM_LIMIT = 3_000_000
 
 
 def _doc_grams(docs: DataFrame, k: int, id_col: str,
@@ -39,6 +50,11 @@ def _doc_grams(docs: DataFrame, k: int, id_col: str,
                         ngrams_over(F.col("ws"), k))).alias("gram")))
 
 
+def _fp(col):
+    """The house-style cross-engine fingerprint: first 15 md5 hex."""
+    return F.substring(F.md5(col), 1, 15)
+
+
 def benchmark_grams(bench: DataFrame, k: int = K_WORDS,
                     text_col: str = "text") -> DataFrame:
     """-> one-column (gram) table of the eval set's distinct k-grams.
@@ -47,6 +63,21 @@ def benchmark_grams(bench: DataFrame, k: int = K_WORDS,
             .select(ws_words_col(text_col).alias("ws"))
             .filter(F.size("ws") >= k)
             .select(F.explode(ngrams_over(F.col("ws"), k)).alias("gram"))
+            .distinct())
+
+
+def benchmark_gram_fps(bench: DataFrame, k: int = K_WORDS,
+                       text_col: str = "text") -> DataFrame:
+    """-> one-column (gram_fp) distinct fingerprints of the eval set's
+    k-grams — the eval-registry-scale twin of :func:`benchmark_grams`:
+    per-row dedup (array_distinct) runs scan-side, the global distinct
+    shuffles 15-byte fingerprints only, never the raw gram string."""
+    return (bench
+            .select(ws_words_col(text_col).alias("ws"))
+            .filter(F.size("ws") >= k)
+            .select(F.explode(F.array_distinct(
+                ngrams_over(F.col("ws"), k))).alias("gram"))
+            .select(_fp("gram").alias("gram_fp"))
             .distinct())
 
 
@@ -64,19 +95,43 @@ def contamination_report(docs: DataFrame, bench: DataFrame,
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame, k: int = K_WORDS,
-                  id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  mode: str = "broadcast",
+                  broadcast_gram_limit: int = BROADCAST_GRAM_LIMIT
+                  ) -> DataFrame:
     """The clean corpus: every input column, minus documents sharing any
-    k-gram with the benchmark.  Only the EVAL grams carry a broadcast
-    hint (small by construction); the contaminated-id set is
+    k-gram with the benchmark.
+
+    ``mode="broadcast"`` (default): the EVAL grams carry a broadcast
+    hint (small by construction) and the corpus side never shuffles.
+    ``mode="shuffle"``: eval-registry scale — both sides reduce their
+    grams to the 15-hex md5 fingerprint scan-side and join on the
+    fixed-width key with NO forced strategy (AQE picks; the shuffled
+    payload is 15 bytes per gram, not the k-word string).  The drop set
+    is identical either way — the fingerprint only re-keys the join
+    (collision budget as in substring_dedup: ~n²/2^61 false pairs,
+    each dropping one extra doc — conservative in drop-mode hygiene).
+    ``mode="auto"``: count the eval grams (an action on the small side
+    only) and pick.  In every mode the contaminated-id set is
     corpus-derived and unbounded — one common boilerplate 8-gram in an
-    eval doc can mark a large corpus fraction — so its anti-join is left
-    to the planner/AQE, which broadcasts when it measures small and
-    shuffles when it does not."""
-    contaminated = (_doc_grams(docs, k, id_col, text_col)
-                    .join(F.broadcast(benchmark_grams(bench, k, text_col)),
-                          "gram")
-                    .select(id_col).distinct())
+    eval doc can mark a large corpus fraction — so its anti-join is
+    left to the planner/AQE, which broadcasts when it measures small
+    and shuffles when it does not."""
+    if mode == "auto":
+        # the count action touches fingerprints only (15 bytes/row)
+        mode = ("broadcast"
+                if benchmark_gram_fps(bench, k, text_col).count()
+                <= broadcast_gram_limit else "shuffle")
+    dg = _doc_grams(docs, k, id_col, text_col)
+    if mode == "broadcast":
+        hits = dg.join(F.broadcast(benchmark_grams(bench, k, text_col)),
+                       "gram")
+    elif mode == "shuffle":
+        hits = (dg.select(id_col, _fp("gram").alias("gram_fp"))
+                .join(benchmark_gram_fps(bench, k, text_col), "gram_fp"))
+    else:
+        raise ValueError(f"unknown decontaminate mode: {mode!r}")
+    contaminated = hits.select(id_col).distinct()
     return docs.join(contaminated, id_col, "left_anti")
 
 

@@ -20,10 +20,19 @@ the same answer falls out of pure relational ops sharded by the gram:
 1. tokenize with positions (posexplode — the only row expansion);
 2. k-gram per start position via array HOFs (zero shuffle, the dedup
    module's ngram builder);
-3. gram occurrence census: one groupBy(gram) carrying count + the
-   min (doc_id, pos) struct — this is the suffix-array replacement, a
-   partial-aggregatable shuffle on the gram key (long grams make hot
-   keys rare by construction; k >= 20 in production, small in tests);
+3. gram occurrence census: one groupBy over the gram FINGERPRINT
+   (first 15 md5 hex digits — the house-style cross-engine hash)
+   carrying count + the min (doc_id, pos) struct — this is the
+   suffix-array replacement, a partial-aggregatable shuffle on a
+   FIXED-WIDTH key.  The raw k-word gram string (k=20 in production ≈
+   100–150 bytes per token position ≈ 20× the corpus bytes) is hashed
+   scan-side and never shuffled; at 100 TB the census/join payload is
+   15 bytes per position instead.  Collision budget: 60-bit
+   fingerprints over ~10^13 token positions collide on ~4×10^7 pairs
+   (birthday n²/2^61), each falsely marking one k-gram span — a
+   ~4×10^-6 fraction of corpus token mass, the standard trade every
+   hash-based ExactSubstr sharding makes (Lee et al. hash suffixes
+   too).  Long grams also make hot keys rare by construction;
 4. non-canonical occurrences -> per-doc interval merge (gaps-and-
    islands window over the doc's few duplicate spans, not its tokens);
 5. islands explode to drop-positions (exactly the duplicated token
@@ -63,7 +72,10 @@ def duplicate_spans(docs: DataFrame, k: int = K_WORDS,
 
     The census groupBy carries ``min(struct(doc_id, pos))`` so canonical
     selection is a by-product of the same aggregate that counts — no
-    second pass, no window over the corpus.
+    second pass, no window over the corpus.  The gram is reduced to its
+    15-hex md5 fingerprint BEFORE the shuffle (see module docstring for
+    the payload math and collision budget); the raw string exists only
+    scan-side, inside the project the fingerprint collapses into.
     """
     grams = (docs
              .select(id_col, ws_words_col(text_col).alias("ws"))
@@ -72,13 +84,15 @@ def duplicate_spans(docs: DataFrame, k: int = K_WORDS,
              # Project-collapse re-inlining the split per gram element
              .select(id_col,
                      F.posexplode(ngrams_over(F.col("ws"), k))
-                     .alias("pos", "gram")))
-    census = (grams.groupBy("gram")
+                     .alias("pos", "gram"))
+             .select(id_col, "pos",
+                     F.substring(F.md5("gram"), 1, 15).alias("gram_fp")))
+    census = (grams.groupBy("gram_fp")
               .agg(F.count(F.lit(1)).alias("occ"),
                    F.min(F.struct(F.col(id_col), F.col("pos")))
                    .alias("first")))
     return (grams
-            .join(census.filter(F.col("occ") > 1), "gram")
+            .join(census.filter(F.col("occ") > 1), "gram_fp")
             .filter(F.struct(F.col(id_col), F.col("pos"))
                     != F.col("first"))
             .select(id_col, "pos"))
@@ -160,16 +174,17 @@ def duckdb_remove_duplicate_spans_sql(k: int = K_WORDS) -> str:
             FROM toks
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ), gv AS (
-            SELECT * FROM grams WHERE gram IS NOT NULL
+            SELECT doc_id, pos, substr(md5(gram), 1, 15) AS gram_fp
+            FROM grams WHERE gram IS NOT NULL
               AND pos + {k} <= (SELECT count(*) FROM toks t
                                 WHERE t.doc_id = grams.doc_id)
         ), census AS (
-            SELECT gram, count(*) AS occ,
+            SELECT gram_fp, count(*) AS occ,
                    min(ROW(doc_id, pos)) AS first
-            FROM gv GROUP BY gram
+            FROM gv GROUP BY gram_fp
         ), dups AS (
             SELECT g.doc_id, g.pos, g.pos + {k} AS e
-            FROM gv g JOIN census c USING (gram)
+            FROM gv g JOIN census c USING (gram_fp)
             WHERE c.occ > 1 AND ROW(g.doc_id, g.pos) <> c.first
         ), isl AS (
             SELECT doc_id, pos, e,

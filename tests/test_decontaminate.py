@@ -70,6 +70,52 @@ def test_gram_join_is_broadcast(frames):
             assert "gram" not in l, l
 
 
+def test_shuffle_mode_identical_drop_set(spark, frames):
+    """Eval-registry scale fallback: the fingerprinted non-broadcast
+    path must produce exactly the broadcast path's drop set — on the
+    engineered corpus AND the driver's documents table (where the eval
+    set is a corpus subset, so contamination is guaranteed)."""
+    docs, bench = frames
+    kept = sorted(r["doc_id"] for r in
+                  DC.decontaminate(docs, bench, K, mode="shuffle").collect())
+    assert kept == [1, 3]
+    sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    ev = (sf.filter(sf.doc_id % 37 == 0)
+          .select((sf.doc_id + 10**9).alias("bench_id"), "text"))
+    a = {r["doc_id"] for r in DC.decontaminate(sf, ev, 8).collect()}
+    b = {r["doc_id"] for r in
+         DC.decontaminate(sf, ev, 8, mode="shuffle").collect()}
+    n = sf.count()
+    assert a == b and len(a) < n   # drops happened and sets agree
+
+
+def test_shuffle_mode_joins_on_fingerprint(frames):
+    """The shuffle path's gram join must key on the fixed-width 15-hex
+    fingerprint, never the raw k-word gram string, and carry no forced
+    broadcast of the eval side."""
+    docs, bench = frames
+    plan = DC.decontaminate(docs, bench, K, mode="shuffle") \
+        ._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert any("gram_fp#" in ln for ln in ex), plan
+    for ln in ex:
+        assert "gram#" not in ln.split("hashpartitioning(", 1)[1], ln
+
+
+def test_auto_mode_picks_by_eval_size(frames):
+    docs, bench = frames
+    small = DC.decontaminate(docs, bench, K, mode="auto")
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert any("BroadcastHashJoin" in ln and "gram" in ln
+               for ln in plan.splitlines()), plan
+    big = DC.decontaminate(docs, bench, K, mode="auto",
+                           broadcast_gram_limit=1)
+    plan_b = big._jdf.queryExecution().executedPlan().toString()
+    assert any("gram_fp#" in ln for ln in plan_b.splitlines()), plan_b
+    assert (sorted(r["doc_id"] for r in big.collect()) == [1, 3])
+
+
 def test_overlap_across_line_break_detected(spark):
     """Regression: the eval snippet split by a newline inside the
     training doc must still hit — tokenization is whitespace-wide, so a

@@ -94,6 +94,20 @@ def test_no_window_over_corpus_tokens(spark, docs):
             assert "doc_id" in line.split("windowspecdefinition(", 1)[1][:40]
 
 
+def test_census_shuffles_fingerprint_not_raw_gram(docs):
+    """Scale shape: every exchange in the census/join DAG keys on the
+    fixed-width 15-hex md5 fingerprint (gram_fp), never the raw k-word
+    gram string — at production k=20 the raw key would be ~20× corpus
+    bytes of shuffle payload."""
+    plan = SD.duplicate_spans(docs, K) \
+        ._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert any("gram_fp#" in ln for ln in ex), plan
+    for ln in ex:
+        keys = ln.split("hashpartitioning(", 1)[1]
+        assert "gram#" not in keys, ln
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
