@@ -49,14 +49,31 @@ JACCARD_THRESHOLD = 0.7
 SHINGLE_N = 3
 
 # Min-wise hash family (MMDS ch. 3.3.6): ONE base hash per shingle
-# (first 8 md5 hex digits -> x < 2^32), then n_hashes universal-hash
+# (first 15 md5 hex digits -> x < 2^60), then n_hashes universal-hash
 # permutations h_j(x) = (a_j*x + b_j) mod p over a Mersenne prime.
 # Measured 2x faster than the r2 16-salted-md5 family at sf0.1 (the
 # md5 calls were the whole cost; multiply-mod is native codegen) — at
 # 100 TB the signature stage dominates dedup, so this is the scaling
-# lever.  a < 2^30 keeps a*x inside signed 64-bit on every engine.
+# lever.
+#
+# Base-hash width / collision budget: a base collision makes two
+# DISTINCT shingles identical under ALL n permutations (correlated
+# error, unlike per-hash collisions), so the base must be wide enough
+# that corpus-wide collisions are negligible.  At 60 bits and 10^10
+# distinct shingles (a 100 TB corpus), expected colliding pairs ~
+# n^2/2^61 ~ 43 — vanishing against 10^10 shingles (the r3 32-bit base
+# made collisions CERTAIN above ~10^5 shingles and biased Jaccard
+# upward corpus-wide).
+#
+# a*x with x < 2^60 would overflow 64-bit, so the permutation runs as a
+# two-step Mersenne-split mulmod (exact, verified in test_dedup):
+#   x = xh*2^30 + xl;  t1 = a*xh  (< 2^60 since a < 2^30)
+#   t1*2^30 mod p = (t1 >> 31) + ((t1 & (2^31-1)) << 30)   [2^61 === 1]
+#   h = (that + a*xl + b) mod p       — every intermediate < 2^63.
 # Constants are fixed by seed so Spark and the DuckDB oracle share them.
 HASH_P = (1 << 61) - 1
+_MASK31 = (1 << 31) - 1
+_MASK30 = (1 << 30) - 1
 _rng = __import__("random").Random(1234)
 MAX_HASHES = 128  # enough for the widest deployment config proven here
 HASH_A = [_rng.randrange(1, 1 << 30) | 1 for _ in range(MAX_HASHES)]
@@ -94,16 +111,24 @@ def ngrams_over(words, n: int):
 
 
 def _base_hash():
-    """shingle string -> x in [0, 2^32): first 8 md5 hex digits."""
-    return lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    """shingle string -> x in [0, 2^60): first 15 md5 hex digits."""
+    return lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def _perm_hash(j: int):
-    """Closure factory — a ``lambda v, j=j`` would be read by pyspark as
-    the TWO-ARG (element, index) transform signature and silently replace
-    the permutation index with the array index."""
+    """(a_j*x + b_j) mod p via the Mersenne-split mulmod (module
+    docstring) — x < 2^60 would overflow a plain a*x.  Closure factory —
+    a ``lambda v, j=j`` would be read by pyspark as the TWO-ARG
+    (element, index) transform signature and silently replace the
+    permutation index with the array index."""
     a, b = HASH_A[j], HASH_B[j]
-    return lambda v: (v * a + b) % HASH_P
+
+    def h(x):
+        t1 = F.shiftright(x, 30) * a
+        hi = (F.shiftright(t1, 31)
+              + F.shiftleft(t1.bitwiseAND(F.lit(_MASK31)), 30))
+        return (hi + x.bitwiseAND(F.lit(_MASK30)) * a + b) % HASH_P
+    return h
 
 
 def shingled_docs(docs: DataFrame, shingle_n: int = SHINGLE_N) -> DataFrame:
@@ -361,7 +386,7 @@ def duckdb_shingle_cte(shingle_n: int = SHINGLE_N) -> str:
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ), shd AS (
             SELECT DISTINCT doc_id, shingle,
-                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
             FROM sh WHERE shingle IS NOT NULL
         )"""
 
@@ -372,9 +397,16 @@ def duckdb_signature_select(n_hashes: int = N_HASHES,
     universal-hash family as minhash_signatures, shared constants."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
+
+    def perm(j: int) -> str:
+        # the same Mersenne-split mulmod as _perm_hash, spelled in SQL
+        a, b = HASH_A[j], HASH_B[j]
+        t1 = f"((x >> 30) * {a})"
+        hi = f"(({t1} >> 31) + (({t1} & {_MASK31}) << 30))"
+        return f"(({hi} + (x & {_MASK30}) * {a} + {b}) % {HASH_P})"
+
     hashes = ", ".join(
-        f"min((x * {HASH_A[j]} + {HASH_B[j]}) % {HASH_P}) AS h{j}"
-        for j in range(n_hashes))
+        f"min({perm(j)}) AS h{j}" for j in range(n_hashes))
     band_cols = ", ".join(
         "md5(" + " || ':' || ".join(
             f"h{k * rows + r}::VARCHAR" for r in range(rows))

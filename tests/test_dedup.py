@@ -36,6 +36,37 @@ def corpus(spark):
     return _docs(spark, [v1, v2, v3, w1, w2] + others)
 
 
+def test_mersenne_split_mulmod_exact(spark):
+    """The 60-bit base hash forces a two-step mulmod (a*x would overflow
+    int64); both engines' split form must equal the mathematical
+    (a_j*x + b_j) mod p for adversarial x across the full 60-bit range,
+    and the Spark base hash must actually be 60 bits wide."""
+    import duckdb
+    xs = ([0, 1, (1 << 30) - 1, 1 << 30, (1 << 60) - 1]
+          + [((1 << 60) - 1) // k for k in (3, 7, 11, 13)])
+    for j in (0, 1, 63, 127):
+        a, b = D.HASH_A[j], D.HASH_B[j]
+        want = [(a * x + b) % D.HASH_P for x in xs]
+        got_spark = [
+            r["h"] for r in spark.createDataFrame(
+                [(x,) for x in xs], "x long")
+            .select(F.transform(F.array("x"), D._perm_hash(j))[0].alias("h"))
+            .collect()]
+        assert got_spark == want, f"spark mulmod mismatch at j={j}"
+        hashes, _ = D.duckdb_signature_select(n_hashes=j + 1, bands=j + 1)
+        perm_sql = hashes.split(", ")[-1]  # "min(<perm j>) AS h{j}"
+        expr = perm_sql[len("min("):perm_sql.rindex(") AS")]
+        got_duck = [duckdb.sql(f"SELECT {expr} FROM (SELECT {x}::BIGINT "
+                               "AS x)").fetchone()[0] for x in xs]
+        assert got_duck == want, f"duckdb mulmod mismatch at j={j}"
+    # base hash width: some corpus shingle must exceed 2^32 (the old
+    # 32-bit family's ceiling), proving the 15-hex base is live
+    mx = (D.shingled_docs(_docs(spark, [BASE]))
+          .select(F.array_max(F.transform(
+              "shingles", D._base_hash())).alias("m")).first()["m"])
+    assert mx > (1 << 32)
+
+
 def test_connected_components_chain(spark):
     """a-b, b-c chain collapses to one component; disjoint pair separate."""
     edges = spark.createDataFrame(
