@@ -177,6 +177,27 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
                       *band_cols)
 
 
+def signature_col(n_hashes: int = N_HASHES):
+    """The h0..h{n-1} columns of a ``minhash_signatures`` frame packed
+    into one array<long> — the persistable form of the signature (the
+    streaming curation path stores it next to the band index so a band
+    collision can be VERIFIED from state instead of trusted)."""
+    return F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
+
+
+def estimated_jaccard(a_sig, b_sig):
+    """Fraction of agreeing minhash positions between two signature
+    arrays — the unbiased MinHash Jaccard estimator (MMDS 3.3.3), as a
+    column expression.  Rounded to 4 decimals so both engines (and
+    replays) make identical keep/drop decisions.  Granularity is
+    1/n_hashes: with 16 hashes a 0.7 threshold requires >= 12 agreeing
+    positions."""
+    matches = F.aggregate(
+        F.zip_with(a_sig, b_sig, lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return F.round(matches.cast("double") / F.size(a_sig), 4) + 0.0
+
+
 def candidate_pairs(sig: DataFrame, bands: int = BANDS) -> DataFrame:
     """LSH bucket join: docs sharing ANY band -> (a_doc_id, b_doc_id).
 

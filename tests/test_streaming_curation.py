@@ -93,8 +93,12 @@ def test_funnels_and_cross_batch_dedup(setup):
     assert m[0]["input"] == 4 and m[0]["after_quality"] == 3
     assert m[0]["after_batch_dedup"] == 2       # near-dup 2 dropped
     assert m[0]["after_index_dedup"] == 2       # empty index, no-op
+    assert m[0]["batch_band_hits"] == 1         # the (1,2) collision
+    assert m[0]["batch_est_drops"] == 1         # ... confirmed by the gate
     assert m[1]["input"] == 3
     assert m[1]["after_index_dedup"] == m[1]["after_batch_dedup"] - 1
+    assert m[1]["index_band_hits"] >= 1         # 11 collided with stored 1
+    assert m[1]["index_est_drops"] == 1         # ... and the gate confirmed
     assert m[1]["after_decontaminate"] == 1     # doc 13 dropped
 
 
@@ -105,6 +109,87 @@ def test_band_index_accumulates_per_batch(setup):
                  idx.groupBy("ingest_batch")
                  .agg(F.countDistinct("doc_id").alias("n")).collect()}
     assert per_batch[0] == 2 and per_batch[1] == 1
+
+
+def test_sig_index_accumulates_with_band_index(setup):
+    """The signature table is the band index's verification sibling:
+    one row per ACCEPTED doc per batch, carrying the packed minhash
+    array the next batch's estimate gate reads."""
+    spark, lake, _, _ = setup
+    sigs = spark.read.parquet(lake.path(C.SIG_INDEX))
+    rows = {(r["ingest_batch"], r["doc_id"]): r["sig"] for r in sigs.collect()}
+    assert set(rows) == {(0, 1), (0, 4), (1, 12)}
+    assert all(len(v) == 16 for v in rows.values())
+
+
+def test_band_collision_without_similarity_is_not_dropped(spark, tmp_path):
+    """The r3 ADVICE scenario: two DISTINCT documents that share an LSH
+    band (engineered via a high-collision 16-bands-of-1 config) must BOTH
+    survive — the estimated-Jaccard gate vetoes the band hit.  Also
+    proves the cross-batch path: the same dissimilar doc arriving in a
+    later batch collides with stored state and is still kept."""
+    from ocr_documents_spark.jobs.lake import Lake
+    from ocr_documents_spark.operators import dedup as D
+    lake = Lake(str(tmp_path / "lake"), n_buckets=4)
+    bands = 16  # rows-per-band = 1: band collisions are near-certain, drops
+    commit = C.curation_committer(lake, bands=bands)   # still be gated
+
+    base = GOOD_A.split("\n")
+    other = GOOD_D.split("\n")
+    # ~50% line overlap: near-certain band collisions at rows=1, true
+    # Jaccard far below the 0.7 gate
+    half_a = "\n".join(base[:4] + other[:4])
+    half_b = "\n".join(base[:4] + other[4:])
+    d0 = spark.createDataFrame([(1, half_a, "web"), (2, half_b, "web")],
+                               "doc_id long, text string, source string")
+    # precondition: the pair actually collides on some band
+    sig = D.minhash_signatures(d0.select("doc_id", "text"), 16, bands)
+    hit_pairs = D.candidate_pairs(sig, bands).count()
+    est = (D.candidate_pairs(sig, bands)
+           .join(sig.select(F.col("doc_id").alias("a_doc_id"),
+                            D.signature_col(16).alias("a_sig")), "a_doc_id")
+           .join(sig.select(F.col("doc_id").alias("b_doc_id"),
+                            D.signature_col(16).alias("b_sig")), "b_doc_id")
+           .select(D.estimated_jaccard(F.col("a_sig"), F.col("b_sig"))
+                   .alias("est")).collect())
+    assert hit_pairs >= 1 and all(r["est"] < 0.7 for r in est), \
+        "fixture must engineer a band collision below the gate"
+
+    commit(d0, 0)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(lake.path(C.CURATED)).collect()}
+    assert kept == {1, 2}                      # nobody falsely dropped
+    m0 = spark.read.parquet(lake.path(C.CURATION_METRICS)) \
+        .filter(F.col("ingest_batch") == 0).first()
+    assert m0["batch_band_hits"] >= 1 and m0["batch_est_drops"] == 0
+
+    # cross-batch: a third ~50%-overlap doc probes the stored index
+    half_c = "\n".join(base[4:] + other[:4])
+    d1 = spark.createDataFrame([(3, half_c, "web")],
+                               "doc_id long, text string, source string")
+    commit(d1, 1)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(lake.path(C.CURATED)).collect()}
+    assert 3 in kept
+    m1 = spark.read.parquet(lake.path(C.CURATION_METRICS)) \
+        .filter(F.col("ingest_batch") == 1).first()
+    assert m1["index_est_drops"] == 0
+
+
+def test_metrics_schema_static_without_bench(spark, tmp_path):
+    """ADVICE r3: runs with and without an eval set must write the SAME
+    metrics schema — optional stages are NULL, never absent columns."""
+    from ocr_documents_spark.jobs.lake import Lake
+    lake = Lake(str(tmp_path / "lake2"), n_buckets=4)
+    commit = C.curation_committer(lake)        # no bench
+    d = spark.createDataFrame([(1, GOOD_F, "web")],
+                              "doc_id long, text string, source string")
+    commit(d, 0)
+    m = spark.read.parquet(lake.path(C.CURATION_METRICS))
+    assert set(m.columns) == {"ingest_batch"} | set(C.METRICS_COLUMNS)
+    row = m.first()
+    assert row["after_decontaminate"] is None
+    assert row["after_index_dedup"] == 1
 
 
 def test_replay_is_idempotent(setup):
