@@ -69,11 +69,14 @@ def _sub_emb(emb: DataFrame, s: int, width: int) -> DataFrame:
 
 def train_pq_codebooks(emb: DataFrame, m: int = M_SUBS,
                        iters: int = PQ_ITERS,
-                       sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+                       sample_mod: int = TRAIN_SAMPLE_MOD,
+                       dim: int | None = None) -> DataFrame:
     """-> (sub, code, cvec): m independent sub-codebooks, each trained
-    with the ivf module's sampled Lloyd's on its slice of the corpus."""
+    with the ivf module's sampled Lloyd's on its slice of the corpus.
+    Pass ``dim`` when known (callers of the DuckDB twin already know
+    it) to skip the one-row inference job."""
     e = _as_double(emb)
-    width = _dim(emb) // m
+    width = _dim(emb, dim) // m
     parts = []
     for s in range(m):
         cb = train_centroids(_sub_emb(e, s, width), init_ids=PQ_INIT_IDS,
@@ -83,18 +86,30 @@ def train_pq_codebooks(emb: DataFrame, m: int = M_SUBS,
     return reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint()
 
 
-def _dim(emb: DataFrame) -> int:
-    return len(emb.select("embedding").first()["embedding"])
+def _dim(emb: DataFrame, dim: int | None = None) -> int:
+    """Embedding width: the explicit parameter when the caller knows it
+    (no Spark job), else inferred from ONE row — each public entry
+    point resolves this once and threads it through its internal calls
+    (the r3 ADVICE flagged one ivfpq_topk call triggering several
+    redundant corpus actions)."""
+    if dim is not None:
+        return dim
+    row = emb.select("embedding").first()
+    if row is None or row["embedding"] is None:
+        raise ValueError(
+            "cannot infer the embedding dimension from an empty "
+            "embeddings DataFrame — pass dim= explicitly")
+    return len(row["embedding"])
 
 
 def encode_pq(emb: DataFrame, codebooks: DataFrame,
-              m: int = M_SUBS) -> DataFrame:
+              m: int = M_SUBS, dim: int | None = None) -> DataFrame:
     """-> (vec_id, sub, code): the compressed index in long form (the
     storage layout a lake table would use, partitioned however the
     coarse quantizer dictates).  Nearest sub-centroid by rounded squared
     L2 with code tie-break — same rule as the ivf assignment."""
     e = _as_double(emb)
-    width = _dim(emb) // m
+    width = _dim(emb, dim) // m
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"),
                                                     F.asc("code"))
     subs = [
@@ -110,15 +125,17 @@ def encode_pq(emb: DataFrame, codebooks: DataFrame,
 def pq_adc_scores(emb: DataFrame, query_filter, candidate_filter,
                   m: int = M_SUBS, iters: int = PQ_ITERS,
                   sample_mod: int = TRAIN_SAMPLE_MOD,
-                  codebooks: DataFrame | None = None) -> DataFrame:
+                  codebooks: DataFrame | None = None,
+                  dim: int | None = None) -> DataFrame:
     """-> (query_id, vec_id, adc_d2): compressed-domain distances of
     every candidate to every query — sum over subspaces of the rounded
     (query-subvector, assigned-code-centroid) squared L2."""
+    dim = _dim(emb, dim)
     cb = (codebooks if codebooks is not None
-          else train_pq_codebooks(emb, m, iters, sample_mod))
-    codes = encode_pq(emb.filter(candidate_filter), cb, m)
+          else train_pq_codebooks(emb, m, iters, sample_mod, dim=dim))
+    codes = encode_pq(emb.filter(candidate_filter), cb, m, dim=dim)
     e = _as_double(emb)
-    width = _dim(emb) // m
+    width = dim // m
     q_subs = reduce(lambda a, b: a.unionByName(b), [
         _sub_emb(e.filter(query_filter), s, width)
         .select(F.col("vec_id").alias("query_id"),
@@ -136,13 +153,14 @@ def pq_adc_scores(emb: DataFrame, query_filter, candidate_filter,
 def pq_rerank_topk(emb: DataFrame, query_filter, candidate_filter,
                    k: int = 3, shortlist: int = SHORTLIST,
                    m: int = M_SUBS, iters: int = PQ_ITERS,
-                   sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+                   sample_mod: int = TRAIN_SAMPLE_MOD,
+                   dim: int | None = None) -> DataFrame:
     """The deployment path: ADC shortlist per query (compressed-domain,
     corpus-wide), exact cosine re-rank of the shortlist only ->
     (query_id, neighbor_id, cos, rank).  Raw vectors are touched for
     shortlist*queries rows, not the corpus."""
     adc = pq_adc_scores(emb, query_filter, candidate_filter,
-                        m, iters, sample_mod)
+                        m, iters, sample_mod, dim=_dim(emb, dim))
     w_sl = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
                                                   F.asc("vec_id"))
     short = (adc.withColumn("r", F.row_number().over(w_sl))
@@ -256,7 +274,8 @@ def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
                k: int = 3, nprobe: int | None = None,
                shortlist: int = SHORTLIST,
                m: int = M_SUBS, iters: int = PQ_ITERS,
-               sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+               sample_mod: int = TRAIN_SAMPLE_MOD,
+               dim: int | None = None) -> DataFrame:
     """IVF-PQ, the full production index: the ivf coarse quantizer
     routes each query to its ``nprobe`` nearest cells, PQ codes score
     ONLY the probed cells' members in the compressed domain, and exact
@@ -272,14 +291,15 @@ def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
     """
     from .ivf import NPROBE, _nearest_cell, train_centroids as train_coarse
     nprobe = NPROBE if nprobe is None else nprobe
+    dim = _dim(emb, dim)
     e = _as_double(emb)
     coarse = train_coarse(emb, sample_mod=sample_mod)
-    cb = train_pq_codebooks(emb, m, iters, sample_mod)
+    cb = train_pq_codebooks(emb, m, iters, sample_mod, dim=dim)
 
     # stored index: (vec_id, cell) + (vec_id, sub, code)
     cands = e.filter(candidate_filter)
     cand_cells = _nearest_cell(cands, coarse).select("vec_id", "cell")
-    codes = encode_pq(cands, cb, m).join(cand_cells, "vec_id")
+    codes = encode_pq(cands, cb, m, dim=dim).join(cand_cells, "vec_id")
 
     # probe: top-nprobe cells per query (the ivf probe rule)
     q = e.filter(query_filter).select(
@@ -292,7 +312,7 @@ def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
               .select("query_id", "cell"))
 
     # ADC over probed cells only
-    width = _dim(emb) // m
+    width = dim // m
     q_subs = reduce(lambda a, b: a.unionByName(b), [
         _sub_emb(e.filter(query_filter), s, width)
         .select(F.col("vec_id").alias("query_id"),

@@ -32,6 +32,24 @@ def test_rerank_matches_duckdb_oracle(emb):
     assert got == want and len(got) == 15
 
 
+def test_explicit_dim_matches_inferred_and_empty_input_raises(emb, spark):
+    """dim= threads through the whole stack without the one-row
+    inference job, producing identical results; an empty corpus raises
+    a descriptive error instead of TypeError on a None subscript."""
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in PQ.pq_rerank_topk(emb, F.col("vec_id") < 5,
+                                   F.col("vec_id") >= 5, dim=DIM).collect())
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in PQ.pq_rerank_topk(emb, F.col("vec_id") < 5,
+                                   F.col("vec_id") >= 5).collect())
+    assert got == want
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        PQ.train_pq_codebooks(empty)
+
+
 def test_rerank_recall_floor(emb, spark):
     """The shortlist-rerank path must hold recall@3 >= 0.8 vs the exact
     baseline while scoring the corpus only in the compressed domain."""
