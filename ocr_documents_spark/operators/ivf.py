@@ -172,6 +172,118 @@ def ivf_topk(emb: DataFrame, query_filter, candidate_filter,
 
 
 # ---------------------------------------------------------------------------
+# Two-level (hierarchical) coarse quantizer
+# ---------------------------------------------------------------------------
+#
+# A FLAT codebook stops scaling around k ~ 1e5 cells: every assignment
+# is a crossJoin against a broadcast k×dim table, and SemDeDup needs
+# k ∝ corpus size (the paper uses n/avg_cluster_size clusters) so that
+# within-cell self-join pair counts stay bounded — at fixed k they grow
+# O(n²/k).  The two-level split keeps every broadcast tiny and every
+# join keyed:
+#
+#   level 1: the existing flat coarse codebook (k1 rows, broadcast)
+#            ROUTES each point to a coarse cell;
+#   level 2: per coarse cell, a SUB-codebook (k2 rows) trained on the
+#            cell's own training-sample members refines the assignment.
+#            The k1×k2 fine codebook is NEVER broadcast — sub-codebooks
+#            live in a (cell, sub, scvec) table and the refinement join
+#            is an ordinary equi-join ON THE COARSE CELL, the same
+#            shuffle key the points already carry.
+#
+# Total fine cells k1·k2 therefore scale to 1e6+ with both in-memory
+# structures bounded: the broadcast is k1 rows, the per-cell join fan-
+# out is k2.  Training is ONE grouped pipeline (no per-cell driver
+# loop): sample → coarse-assign → per-cell seed pick (smallest md5 —
+# deterministic, cross-engine) → grouped Lloyd's where assign joins on
+# the cell and recompute groups by (cell, sub).  All rounding rules
+# match the flat trainer, so the DuckDB twin unrolls identically.
+
+SUB_ITERS = 2
+# SemDeDup-style target occupancy: k_fine ~ n / AVG_CELL_SIZE
+AVG_CELL_SIZE = 60
+
+
+def sub_k_for(n_vectors: int, coarse_k: int = K_CELLS,
+              avg_cell_size: int = AVG_CELL_SIZE) -> int:
+    """Paper-style cell-count scaling (SemDeDup: n/avg_cluster_size
+    clusters), expressed as the per-coarse-cell sub-codebook size so
+    total fine cells = coarse_k * sub_k ≈ n / avg_cell_size."""
+    import math
+    return max(1, math.ceil(n_vectors / (avg_cell_size * coarse_k)))
+
+
+def _nearest_sub(points: DataFrame, sub_cent: DataFrame) -> DataFrame:
+    """points(vec_id, embedding, cell) × sub_cent(cell, sub, scvec) ->
+    + sub of the nearest sub-centroid WITHIN the point's coarse cell.
+    The join key is the coarse cell (no broadcast of the fine
+    codebook); a coarse cell with no sub-codebook (no training-sample
+    members landed there) keeps its points in a single sub = -1 bucket
+    via the left join."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("sub"))
+    return (points.join(sub_cent, "cell", "left")
+            .withColumn("d2", _dist2(F.col("embedding"), F.col("scvec")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", "cell",
+                    F.coalesce(F.col("sub"), F.lit(-1)).alias("sub")))
+
+
+def _recompute_sub(assigned: DataFrame) -> DataFrame:
+    """per-(cell, sub) per-dim mean -> (cell, sub, scvec), rounded."""
+    return (assigned
+            .select("cell", "sub", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "sub", "dim")
+            .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
+            .groupBy("cell", "sub")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select("cell", "sub",
+                    F.transform("s", lambda t: t["m"]).alias("scvec")))
+
+
+def train_two_level(emb: DataFrame, sub_k: int,
+                    init_ids: list[int] = None, iters: int = ITERS,
+                    sub_iters: int = SUB_ITERS,
+                    sample_mod: int = TRAIN_SAMPLE_MOD,
+                    coarse: DataFrame | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """-> (coarse(cell, cvec), fine(cell, sub, scvec)): the hierarchical
+    codebook pair.  Per-cell seeds are the cell's ``sub_k`` training
+    members with the smallest (md5(vec_id), vec_id) — deterministic and
+    engine-independent; Lloyd's then runs GROUPED by coarse cell in one
+    data-parallel pipeline (assign joins on the cell, recompute groups
+    by (cell, sub)) — never a per-cell driver loop, never a fine-
+    codebook broadcast."""
+    cent = (coarse if coarse is not None
+            else train_centroids(emb, init_ids=init_ids, iters=iters,
+                                 sample_mod=sample_mod))
+    e = _as_double(emb)
+    e_train = (e.filter(_train_sample_filter(sample_mod))
+               if sample_mod > 1 else e)
+    assigned = _nearest_cell(e_train, cent).localCheckpoint()
+    w_seed = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+    sub_cent = (assigned
+                .withColumn("rn", F.row_number().over(w_seed))
+                .filter(F.col("rn") <= sub_k)
+                .select("cell", (F.col("rn") - 1).alias("sub"),
+                        F.col("embedding").alias("scvec"))
+                .localCheckpoint())
+    for _ in range(sub_iters):
+        sub_cent = _recompute_sub(
+            _nearest_sub(assigned, sub_cent)).localCheckpoint()
+    return cent, sub_cent
+
+
+def assign_two_level(emb: DataFrame, cent: DataFrame,
+                     sub_cent: DataFrame) -> DataFrame:
+    """Full-corpus fine-cell assignment -> (vec_id, embedding, cell,
+    sub): broadcast route to the coarse cell, then the keyed per-cell
+    refinement join."""
+    return _nearest_sub(_nearest_cell(_as_double(emb), cent), sub_cent)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle builders (same math, iterations unrolled)
 # ---------------------------------------------------------------------------
 
@@ -201,6 +313,84 @@ def _duck_recompute(assigned_cte: str, out: str) -> str:
                 GROUP BY cell, dim)
             GROUP BY cell
         )"""
+
+
+def _duck_assign_sub(points_cte: str, subcent_cte: str, out: str) -> str:
+    """Per-cell refinement assignment — LEFT join on the coarse cell
+    (sub = -1 when the cell trained no sub-codebook), NULLS FIRST to
+    match Spark's ASC ordering."""
+    d2 = _D2.format(v="p.embedding", c="c.scvec")
+    return f"""{out} AS (
+            SELECT vec_id, embedding, cell, coalesce(sub, -1) AS sub
+            FROM (
+                SELECT p.vec_id, p.embedding, p.cell, c.sub,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {d2} ASC NULLS FIRST, c.sub ASC) AS r
+                FROM {points_cte} p
+                LEFT JOIN {subcent_cte} c ON p.cell = c.cell)
+            WHERE r = 1
+        )"""
+
+
+def _duck_recompute_sub(assigned_cte: str, out: str) -> str:
+    return f"""{out} AS (
+            SELECT cell, sub, list(m ORDER BY dim) AS scvec FROM (
+                SELECT cell, sub, dim, round(avg(x), 4) + 0.0 AS m FROM (
+                    SELECT cell, sub, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM {assigned_cte})
+                GROUP BY cell, sub, dim)
+            GROUP BY cell, sub
+        )"""
+
+
+def _duck_sub_seeds(atrain_cte: str, sub_k: int, out: str) -> str:
+    """Per-cell seeds: the cell's sub_k members with the smallest
+    (md5(vec_id), vec_id) — the same deterministic pick as
+    train_two_level's window."""
+    return f"""{out} AS (
+            SELECT cell, rn - 1 AS sub, embedding AS scvec FROM (
+                SELECT cell, embedding,
+                       row_number() OVER (PARTITION BY cell
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                    vec_id ASC) AS rn
+                FROM {atrain_cte})
+            WHERE rn <= {sub_k}
+        )"""
+
+
+def duckdb_two_level_assign_ctes(sub_k: int, iters: int = ITERS,
+                                 sub_iters: int = SUB_ITERS,
+                                 init_ids: list[int] = None,
+                                 sample_mod: int = TRAIN_SAMPLE_MOD
+                                 ) -> list[str]:
+    """CTE chain (over an ``e(vec_id, embedding)`` CTE the caller must
+    prepend) ending in ``assigned(vec_id, embedding, cell, sub)`` — the
+    full-corpus fine-cell assignment of the two-level quantizer, exact
+    twin of train_two_level + assign_two_level."""
+    init_ids = INIT_IDS if init_ids is None else init_ids
+    seed_values = ", ".join(f"({v}, {i})" for i, v in enumerate(init_ids))
+    train_src = ("e" if sample_mod <= 1 else f"""(
+            SELECT vec_id, embedding FROM e
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % {sample_mod} = 0)""")
+    parts = [f"""c0 AS (
+            SELECT m.cell, e.embedding AS cvec
+            FROM e JOIN (VALUES {seed_values}) m(vid, cell)
+              ON e.vec_id = m.vid
+        )"""]
+    for i in range(iters):
+        parts.append(_duck_assign(train_src, f"c{i}", f"a{i}"))
+        parts.append(_duck_recompute(f"a{i}", f"c{i + 1}"))
+    cf = f"c{iters}"
+    parts.append(_duck_assign(train_src, cf, "atrain"))
+    parts.append(_duck_sub_seeds("atrain", sub_k, "s0"))
+    for i in range(sub_iters):
+        parts.append(_duck_assign_sub("atrain", f"s{i}", f"sa{i}"))
+        parts.append(_duck_recompute_sub(f"sa{i}", f"s{i + 1}"))
+    parts.append(_duck_assign("e", cf, "acoarse"))
+    parts.append(_duck_assign_sub("acoarse", f"s{sub_iters}", "assigned"))
+    return parts
 
 
 def duckdb_ivf_topk_sql(k: int = 3, nprobe: int = NPROBE,

@@ -34,8 +34,11 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from .dedup import connected_components
-from .ivf import (ITERS, TRAIN_SAMPLE_MOD, _as_double, _duck_assign,
-                  _duck_recompute, _nearest_cell, train_centroids, INIT_IDS)
+from .ivf import (AVG_CELL_SIZE, ITERS, K_CELLS, SUB_ITERS,
+                  TRAIN_SAMPLE_MOD, _as_double, _duck_assign,
+                  _duck_recompute, _nearest_cell, assign_two_level,
+                  duckdb_two_level_assign_ctes, sub_k_for, train_centroids,
+                  train_two_level, INIT_IDS)
 
 COS_THRESHOLD = 0.95
 
@@ -54,17 +57,41 @@ def semantic_pair_candidates(emb: DataFrame,
     e = _as_double(emb)
     cent = (centroids if centroids is not None
             else train_centroids(emb, iters=iters, sample_mod=sample_mod))
-    assigned = _nearest_cell(e, cent)
-    a = assigned.select(F.col("cell"), F.col("vec_id").alias("a_doc_id"),
+    return _pairs_within(_nearest_cell(e, cent), ["cell"], threshold)
+
+
+def _pairs_within(assigned: DataFrame, keys: list[str],
+                  threshold: float) -> DataFrame:
+    """Self-join on the cell key(s): -> (a_doc_id, b_doc_id) with
+    rounded cosine >= threshold.  Shared by the flat (keys=[cell]) and
+    two-level (keys=[cell, sub]) paths."""
+    a = assigned.select(*keys, F.col("vec_id").alias("a_doc_id"),
                         F.col("embedding").alias("av"))
-    b = assigned.select(F.col("cell"), F.col("vec_id").alias("b_doc_id"),
+    b = assigned.select(*keys, F.col("vec_id").alias("b_doc_id"),
                         F.col("embedding").alias("bv"))
-    return (a.join(b, "cell")
+    return (a.join(b, keys)
             .filter(F.col("a_doc_id") < F.col("b_doc_id"))
             .withColumn("cos",
                         F.round(cosine(F.col("av"), F.col("bv")), 4) + 0.0)
             .filter(F.col("cos") >= threshold)
             .select("a_doc_id", "b_doc_id"))
+
+
+def _groups_from_pairs(emb: DataFrame, pairs: DataFrame,
+                       cc_telemetry: dict | None = None) -> DataFrame:
+    """Connected components over the pair edges -> the keep/drop
+    contract (vec_id, group_id, group_size, is_canonical)."""
+    comp = connected_components(pairs, telemetry=cc_telemetry)
+    labeled = (emb.select("vec_id")
+               .join(comp.withColumnRenamed("doc_id", "vec_id"),
+                     "vec_id", "left")
+               .withColumn("group_id", F.coalesce("component", "vec_id"))
+               .drop("component"))
+    w = Window.partitionBy("group_id")
+    return (labeled
+            .withColumn("group_size", F.count(F.lit(1)).over(w))
+            .withColumn("is_canonical", F.col("vec_id") == F.col("group_id"))
+            .select("vec_id", "group_id", "group_size", "is_canonical"))
 
 
 def semantic_dedup_groups(emb: DataFrame,
@@ -81,17 +108,94 @@ def semantic_dedup_groups(emb: DataFrame,
     """
     pairs = semantic_pair_candidates(emb, threshold, iters, sample_mod,
                                      centroids=centroids)
-    comp = connected_components(pairs, telemetry=cc_telemetry)
-    labeled = (emb.select("vec_id")
-               .join(comp.withColumnRenamed("doc_id", "vec_id"),
-                     "vec_id", "left")
-               .withColumn("group_id", F.coalesce("component", "vec_id"))
-               .drop("component"))
-    w = Window.partitionBy("group_id")
-    return (labeled
-            .withColumn("group_size", F.count(F.lit(1)).over(w))
-            .withColumn("is_canonical", F.col("vec_id") == F.col("group_id"))
-            .select("vec_id", "group_id", "group_size", "is_canonical"))
+    return _groups_from_pairs(emb, pairs, cc_telemetry)
+
+
+def semantic_dedup_groups_two_level(emb: DataFrame,
+                                    sub_k: int | None = None,
+                                    threshold: float = COS_THRESHOLD,
+                                    iters: int = ITERS,
+                                    sub_iters: int = SUB_ITERS,
+                                    sample_mod: int = TRAIN_SAMPLE_MOD,
+                                    avg_cell_size: int = AVG_CELL_SIZE,
+                                    cc_telemetry: dict | None = None
+                                    ) -> DataFrame:
+    """The corpus-growth-safe SemDeDup: same contract as
+    :func:`semantic_dedup_groups`, but candidate pairs come from a
+    self-join on the TWO-LEVEL fine cell (coarse route + keyed per-cell
+    refinement, operators/ivf.py), and when ``sub_k`` is not given it
+    is derived from the corpus size so expected cell occupancy stays
+    ~``avg_cell_size`` as the corpus grows (the SemDeDup paper's
+    n/avg_cluster_size rule).  Within-cell pair work is then O(n ·
+    avg_cell_size) corpus-wide instead of the fixed-k O(n²/k)."""
+    if sub_k is None:
+        sub_k = sub_k_for(emb.count(), K_CELLS, avg_cell_size)
+    cent, sub_cent = train_two_level(emb, sub_k, iters=iters,
+                                     sub_iters=sub_iters,
+                                     sample_mod=sample_mod)
+    assigned = assign_two_level(emb, cent, sub_cent)
+    pairs = _pairs_within(assigned, ["cell", "sub"], threshold)
+    return _groups_from_pairs(emb, pairs, cc_telemetry)
+
+
+_CC_TAIL = """pairs AS (
+            SELECT a.vec_id AS s, b.vec_id AS d
+            FROM assigned a JOIN assigned b ON {join_cond}
+             AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding, b.embedding)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(b.embedding, b.embedding))),
+                        4) + 0.0 >= {threshold}
+        ),
+        und AS (
+            SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+        ),
+        comp AS (
+            SELECT s AS vec_id, least(s, min(d)) AS group_id
+            FROM reach GROUP BY s
+        ),
+        labeled AS (
+            SELECT ee.vec_id, coalesce(c.group_id, ee.vec_id) AS group_id
+            FROM (SELECT vec_id FROM e) ee
+            LEFT JOIN comp c USING (vec_id)
+        )"""
+
+_GROUPS_SELECT = """
+        SELECT vec_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size,
+               (vec_id = group_id) AS is_canonical
+        FROM labeled
+    """
+
+
+def duckdb_semantic_dedup_two_level_sql(input_sql: str, sub_k: int,
+                                        threshold: float = COS_THRESHOLD,
+                                        iters: int = ITERS,
+                                        sub_iters: int = SUB_ITERS,
+                                        sample_mod: int = TRAIN_SAMPLE_MOD
+                                        ) -> str:
+    """Exact SQL twin of :func:`semantic_dedup_groups_two_level` (with
+    an explicit ``sub_k``): the full two-level training + assignment
+    unrolled via ivf's builders, pairs joined on the fine (cell, sub)
+    key, groups via recursive transitive closure."""
+    parts = [f"""e AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE))
+                       AS embedding
+            FROM ({input_sql})
+        )"""]
+    parts.extend(duckdb_two_level_assign_ctes(
+        sub_k, iters=iters, sub_iters=sub_iters, sample_mod=sample_mod))
+    parts.append(_CC_TAIL.format(
+        join_cond="a.cell = b.cell AND a.sub = b.sub",
+        threshold=threshold))
+    body = ",\n        ".join(parts)
+    return f"WITH RECURSIVE {body}{_GROUPS_SELECT}"
 
 
 def duckdb_semantic_dedup_sql(input_sql: str,

@@ -83,6 +83,73 @@ def test_pairs_join_on_cell_never_allpairs(emb):
             raise AssertionError(f"cartesian over the corpus: {line}")
 
 
+def test_two_level_matches_exact_twin(emb):
+    """The corpus-growth-safe path: two-level training + fine-cell
+    pairs must equal the unrolled DuckDB twin VALUE-FOR-VALUE (groups,
+    sizes, canonicals), and the engineered near-dup pairs must still
+    group under the finer cells (hard-assignment boundary misses are
+    the paper's known trade — floor at half the pairs)."""
+    tel = {}
+    got = {r["vec_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in SM.semantic_dedup_groups_two_level(
+               emb, sub_k=4, cc_telemetry=tel).collect()}
+    assert tel["converged"] is True
+    con = duckdb.connect()
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        SM.duckdb_semantic_dedup_two_level_sql(ENG_SQL, sub_k=4)).fetchall()}
+    assert got == want
+    grouped = 0
+    for i in range(NEARDUP_N):
+        g = got[i + NEARDUP_OFFSET]
+        assert g[0] in (i, i + NEARDUP_OFFSET)
+        grouped += g[0] == i
+    assert grouped >= NEARDUP_N // 2, f"only {grouped} pairs grouped"
+
+
+def test_two_level_bounds_cell_occupancy(spark):
+    """The r3 scale defect: at fixed k the within-cell pair count grows
+    O(n²/k).  On the 10× corpus, the scale-derived two-level fine cells
+    must cut candidate-pair work by an order of magnitude vs the flat
+    k=8 assignment, and the largest fine cell must be far below the
+    largest flat cell."""
+    from ocr_documents_spark.operators import ivf as IVF
+    emb10 = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+             .select("vec_id", "embedding"))
+    n = emb10.count()
+    # a tight target occupancy so the small corpus still yields a real
+    # split (sub_k ~ n / (15 * 8)); ideal pair-count cut is sub_k×
+    sub_k = IVF.sub_k_for(n, avg_cell_size=15)
+    assert sub_k >= 4
+    cent, sub_cent = IVF.train_two_level(emb10, sub_k)
+    fine = (IVF.assign_two_level(emb10, cent, sub_cent)
+            .groupBy("cell", "sub").count().collect())
+    flat = (IVF._nearest_cell(IVF._as_double(emb10),
+                              IVF.train_centroids(emb10))
+            .groupBy("cell").count().collect())
+    pairs = lambda rows: sum(r["count"] * (r["count"] - 1) // 2  # noqa: E731
+                             for r in rows)
+    assert sum(r["count"] for r in fine) == n     # nobody dropped
+    # demand at least half the ideal sub_k× pair-count reduction
+    assert pairs(fine) * sub_k <= pairs(flat) * 2, \
+        (sub_k, pairs(fine), pairs(flat))
+    assert max(r["count"] for r in fine) < max(r["count"] for r in flat)
+
+
+def test_two_level_plan_never_broadcasts_fine_codebook(emb):
+    """Scale shape: the refinement join is keyed on the coarse cell —
+    the k1×k2 fine codebook is never a broadcast side of a nested-loop
+    (only the k1-row coarse codebook rides a broadcast), and no stage
+    is a cartesian over the corpus."""
+    from ocr_documents_spark.operators import ivf as IVF
+    cent, sub_cent = IVF.train_two_level(emb, sub_k=4)
+    plan = IVF.assign_two_level(emb, cent, sub_cent) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln or "BroadcastHashJoin" in ln:
+            assert "scvec" not in ln, ln
+
+
 def test_injected_codebook_reused_not_retrained(emb):
     """The production train-once path: a codebook trained up front and
     passed in must yield the identical grouping to the self-trained
