@@ -136,7 +136,9 @@ def main() -> None:
     from ocr_documents_spark.operators.packing import pack_sequences
     from ocr_documents_spark.operators.quality_filters import \
         quality_filter_report
-    from ocr_documents_spark.operators.semdedup import semantic_dedup_groups
+    from ocr_documents_spark.operators.pq import ivfpq_topk
+    from ocr_documents_spark.operators.semdedup import (
+        semantic_dedup_groups, semantic_dedup_groups_two_level)
     from ocr_documents_spark.operators.substring_dedup import \
         remove_duplicate_spans
 
@@ -144,11 +146,15 @@ def main() -> None:
     bench_docs = tbl("documents").select("doc_id", "text")
     eval_set = (tbl("documents").filter(F.col("doc_id") % 97 == 0)
                 .select((F.col("doc_id") + 10**9).alias("bench_id"), "text"))
+    emb_tbl = tbl("embeddings").select("vec_id", "embedding")
     extra_factories = {
         "substring_dedup": lambda: remove_duplicate_spans(bench_docs, k=8),
         "quality_report": lambda: quality_filter_report(tbl("documents")),
-        "semdedup": lambda: semantic_dedup_groups(
-            tbl("embeddings").select("vec_id", "embedding")),
+        "semdedup": lambda: semantic_dedup_groups(emb_tbl),
+        "semdedup_two_level": lambda: semantic_dedup_groups_two_level(
+            emb_tbl),
+        "ivfpq_topk": lambda: ivfpq_topk(
+            emb_tbl, F.col("vec_id") < 5, F.col("vec_id") >= 5),
         "decontaminate": lambda: decontaminate(bench_docs, eval_set, k=8),
         "domain_mixing": lambda: domain_weighted_sample(
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
@@ -156,6 +162,17 @@ def main() -> None:
     }
     extras = {name: round(best_of(fn), 3)
               for name, fn in extra_factories.items()}
+
+    # the composed end-to-end curation job (scrub -> quality -> dedup ->
+    # decontaminate -> pack) — regressions in the funnel as a whole, not
+    # just its stages; run_curation executes its own actions, so one
+    # timed pass (it localCheckpoints between stages internally)
+    from ocr_documents_spark.jobs.curate import run_curation
+    t0 = time.perf_counter()
+    curate_funnel = run_curation(
+        spark, tbl("documents").select("doc_id", "text", "source"),
+        bench=eval_set)
+    extras["curate_e2e"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -170,6 +187,7 @@ def main() -> None:
         "ivf_recall_at_3": recall,
         "ivf_config": {"k_cells": K_CELLS, "nprobe": NPROBE},
         "extra_ops_sec": extras,
+        "curate_funnel": curate_funnel,
     }))
     spark.stop()
 
