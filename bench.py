@@ -136,7 +136,8 @@ def main() -> None:
     from ocr_documents_spark.operators.packing import pack_sequences
     from ocr_documents_spark.operators.quality_filters import \
         quality_filter_report
-    from ocr_documents_spark.operators.pq import ivfpq_topk
+    from ocr_documents_spark.operators.pq import (build_ivfpq_index,
+                                                  ivfpq_query, ivfpq_topk)
     from ocr_documents_spark.operators.semdedup import (
         semantic_dedup_groups, semantic_dedup_groups_two_level)
     from ocr_documents_spark.operators.substring_dedup import \
@@ -155,6 +156,11 @@ def main() -> None:
             emb_tbl),
         "ivfpq_topk": lambda: ivfpq_topk(
             emb_tbl, F.col("vec_id") < 5, F.col("vec_id") >= 5),
+        # steady-state production ANN: index built once outside the
+        # timer, queries probe the materialized codes table
+        "ivfpq_query": (lambda index=build_ivfpq_index(
+            emb_tbl, F.col("vec_id") >= 5):
+            ivfpq_query(index, emb_tbl.filter(F.col("vec_id") < 5))),
         "decontaminate": lambda: decontaminate(bench_docs, eval_set, k=8),
         "domain_mixing": lambda: domain_weighted_sample(
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),

@@ -43,6 +43,7 @@ coarse quantizer (IVF-PQ) so the shortlist is per-cell, not global.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -270,58 +271,100 @@ def duckdb_pq_rerank_sql(dim: int, query_pred: str = "vec_id < 5",
     """
 
 
-def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
-               k: int = 3, nprobe: int | None = None,
-               shortlist: int = SHORTLIST,
-               m: int = M_SUBS, iters: int = PQ_ITERS,
-               sample_mod: int = TRAIN_SAMPLE_MOD,
-               dim: int | None = None) -> DataFrame:
-    """IVF-PQ, the full production index: the ivf coarse quantizer
-    routes each query to its ``nprobe`` nearest cells, PQ codes score
-    ONLY the probed cells' members in the compressed domain, and exact
-    cosine re-ranks the shortlist -> (query_id, neighbor_id, cos, rank).
+@dataclass
+class IvfPqIndex:
+    """The built IVF-PQ index: two trained codebooks plus the encoded
+    corpus.  ``codes`` is the lake-shaped storage table — one row per
+    (vector, subspace) with the coarse cell as the partition key —
+    and ``vectors`` is the raw-embedding store the exact rerank joins
+    against (in production: the embeddings lake table itself, never a
+    copy)."""
+    coarse: DataFrame     # (cell, cvec) — broadcast-sized
+    codebooks: DataFrame  # (sub, code, cvec) — broadcast-sized
+    codes: DataFrame      # (vec_id, cell, sub, code)
+    vectors: DataFrame    # (vec_id, embedding) raw candidates
+    dim: int
+    m: int
 
-    Cost shape at 10^12 vectors: the stored index is (cell, m codes)
-    per vector — cell is the partition key, codes are 4 bytes — so a
-    query reads nprobe/k_cells of a 4-byte-per-vector table and touches
-    raw vectors only for ``shortlist`` rows.  Composes the two trained
-    quantizers this module family already oracle-checks; the composed
-    semantics are property-tested (tests/test_pq.py) rather than
-    SQL-twinned — both constituent pipelines carry exact oracles.
-    """
-    from .ivf import NPROBE, _nearest_cell, train_centroids as train_coarse
-    nprobe = NPROBE if nprobe is None else nprobe
+
+def build_ivfpq_index(emb: DataFrame, candidate_filter=None,
+                      m: int = M_SUBS, iters: int = PQ_ITERS,
+                      sample_mod: int = TRAIN_SAMPLE_MOD,
+                      dim: int | None = None,
+                      checkpoint: bool = True) -> IvfPqIndex:
+    """Train both quantizers and encode the corpus ONCE — the
+    build-time half of IVF-PQ.  ``checkpoint`` materializes the codes
+    table so every subsequent query reads it instead of replaying
+    training (a persisted deployment uses :func:`save_ivfpq_index`)."""
+    from .ivf import _nearest_cell, train_centroids as train_coarse
     dim = _dim(emb, dim)
     e = _as_double(emb)
     coarse = train_coarse(emb, sample_mod=sample_mod)
     cb = train_pq_codebooks(emb, m, iters, sample_mod, dim=dim)
-
-    # stored index: (vec_id, cell) + (vec_id, sub, code)
-    cands = e.filter(candidate_filter)
+    cands = (e.filter(candidate_filter)
+             if candidate_filter is not None else e)
     cand_cells = _nearest_cell(cands, coarse).select("vec_id", "cell")
-    codes = encode_pq(cands, cb, m, dim=dim).join(cand_cells, "vec_id")
+    codes = (encode_pq(cands, cb, m, dim=dim)
+             .join(cand_cells, "vec_id")
+             .select("vec_id", "cell", "sub", "code"))
+    if checkpoint:
+        codes = codes.localCheckpoint()
+    return IvfPqIndex(coarse, cb, codes, cands, dim, m)
 
-    # probe: top-nprobe cells per query (the ivf probe rule)
-    q = e.filter(query_filter).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qfull"))
+
+def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist the index tables; ``codes`` is partitioned by the coarse
+    cell so a probe scans only nprobe/k_cells of the 4-byte-per-vector
+    table (partition pruning on the probe join).  Raw vectors are NOT
+    copied — they stay in the embeddings lake table and are passed back
+    at :func:`load_ivfpq_index` time."""
+    index.coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    index.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (index.codes.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/codes"))
+
+
+def load_ivfpq_index(spark, path: str, vectors: DataFrame,
+                     dim: int, m: int = M_SUBS) -> IvfPqIndex:
+    """Reopen a saved index over the lake's raw-vector table."""
+    return IvfPqIndex(
+        coarse=spark.read.parquet(f"{path}/coarse"),
+        codebooks=spark.read.parquet(f"{path}/codebooks"),
+        codes=spark.read.parquet(f"{path}/codes"),
+        vectors=_as_double(vectors), dim=dim, m=m)
+
+
+def ivfpq_query(index: IvfPqIndex, queries: DataFrame, k: int = 3,
+                nprobe: int | None = None,
+                shortlist: int = SHORTLIST) -> DataFrame:
+    """The query-time half: route each query to its ``nprobe`` nearest
+    coarse cells, ADC-score only those cells' codes, exact-rerank the
+    shortlist -> (query_id, neighbor_id, cos, rank).  Touches the codes
+    table for nprobe/k_cells of its rows and raw vectors for
+    ``shortlist`` rows per query — training never reruns."""
+    from .ivf import NPROBE
+    nprobe = NPROBE if nprobe is None else nprobe
+    qe = _as_double(queries)
+    q = qe.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qfull"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (q.crossJoin(F.broadcast(coarse))
+    probes = (q.crossJoin(F.broadcast(index.coarse))
               .withColumn("d2", _dist2(F.col("qfull"), F.col("cvec")))
               .withColumn("r", F.row_number().over(wq))
               .filter(F.col("r") <= nprobe)
               .select("query_id", "cell"))
 
     # ADC over probed cells only
-    width = dim // m
+    width = index.dim // index.m
     q_subs = reduce(lambda a, b: a.unionByName(b), [
-        _sub_emb(e.filter(query_filter), s, width)
+        _sub_emb(qe, s, width)
         .select(F.col("vec_id").alias("query_id"),
                 F.lit(s).alias("sub"), F.col("embedding").alias("qv"))
-        for s in range(m)])
-    dtab = (q_subs.join(F.broadcast(cb), "sub")
+        for s in range(index.m)])
+    dtab = (q_subs.join(F.broadcast(index.codebooks), "sub")
             .select("query_id", "sub", "code",
                     _dist2(F.col("qv"), F.col("cvec")).alias("d2")))
-    probed_codes = codes.join(probes, "cell").select(
+    probed_codes = index.codes.join(probes, "cell").select(
         "query_id", "vec_id", "sub", "code")
     adc = (probed_codes.join(dtab, ["query_id", "sub", "code"])
            .groupBy("query_id", "vec_id")
@@ -332,7 +375,7 @@ def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
     short = (adc.withColumn("r", F.row_number().over(w_sl))
              .filter(F.col("r") <= shortlist)
              .select("query_id", "vec_id"))
-    cv = cands.select("vec_id", F.col("embedding").alias("cv"))
+    cv = index.vectors.select("vec_id", F.col("embedding").alias("cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("vec_id"))
     return (short.join(q, "query_id").join(cv, "vec_id")
@@ -343,3 +386,26 @@ def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos", "rank"))
+
+
+def ivfpq_topk(emb: DataFrame, query_filter, candidate_filter,
+               k: int = 3, nprobe: int | None = None,
+               shortlist: int = SHORTLIST,
+               m: int = M_SUBS, iters: int = PQ_ITERS,
+               sample_mod: int = TRAIN_SAMPLE_MOD,
+               dim: int | None = None) -> DataFrame:
+    """IVF-PQ end-to-end (build + query in one call) — the one-shot
+    convenience over :func:`build_ivfpq_index` / :func:`ivfpq_query`.
+
+    Cost shape at 10^12 vectors: the stored index is (cell, m codes)
+    per vector — cell is the partition key, codes are 4 bytes — so a
+    query reads nprobe/k_cells of a 4-byte-per-vector table and touches
+    raw vectors only for ``shortlist`` rows.  Composes the two trained
+    quantizers this module family already oracle-checks; the composed
+    semantics are property-tested (tests/test_pq.py) rather than
+    SQL-twinned — both constituent pipelines carry exact oracles.
+    """
+    index = build_ivfpq_index(emb, candidate_filter, m, iters,
+                              sample_mod, dim=dim, checkpoint=False)
+    return ivfpq_query(index, _as_double(emb).filter(query_filter),
+                       k, nprobe, shortlist)
