@@ -136,6 +136,9 @@ def main() -> None:
     from ocr_documents_spark.operators.packing import pack_sequences
     from ocr_documents_spark.operators.quality_filters import \
         quality_filter_report
+    from ocr_documents_spark.operators.ngram_lm import (
+        dsir_select, perplexity_scores, quality_tiers, tier_thresholds,
+        train_lm_counts)
     from ocr_documents_spark.operators.pq import (build_ivfpq_index,
                                                   ivfpq_query, ivfpq_topk)
     from ocr_documents_spark.operators.semdedup import (
@@ -165,6 +168,15 @@ def main() -> None:
         "domain_mixing": lambda: domain_weighted_sample(
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
+        "perplexity_tiers": lambda: (lambda scored: quality_tiers(
+            scored, tier_thresholds(scored)))(perplexity_scores(
+                bench_docs, train_lm_counts(bench_docs, sample_mod=4))),
+        "dsir_select": lambda: dsir_select(
+            bench_docs,
+            train_lm_counts(tbl("documents")
+                            .filter(F.col("source") == "src3")
+                            .select("doc_id", "text")),
+            train_lm_counts(bench_docs, sample_mod=4), k=100),
     }
     extras = {name: round(best_of(fn), 3)
               for name, fn in extra_factories.items()}
