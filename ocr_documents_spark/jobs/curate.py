@@ -12,6 +12,9 @@ each emits one row in the funnel metrics):
    text every later stage sees is already masked;
 2. **quality** — Gopher/C4 rule report (operators/quality_filters),
    keep only docs passing every rule;
+2b. **lm_tail** (optional, ``drop_lm_tail=True``) — CCNet-style
+   perplexity bucketing (operators/ngram_lm): score survivors under a
+   corpus-sample n-gram LM and drop the tail quantile;
 3. **dedup** — MinHash/LSH near-dup groups (operators/dedup), keep
    canonical docs only;
 4. **decontaminate** — drop docs sharing any k-gram with the eval set
@@ -44,6 +47,10 @@ from ocr_documents_spark.operators.decontaminate import decontaminate
 from ocr_documents_spark.operators.dedup import dedup_groups
 from ocr_documents_spark.operators.mixing import domain_weighted_sample
 from ocr_documents_spark.operators.packing import pack_sequences
+from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
+                                                    quality_tiers,
+                                                    tier_thresholds,
+                                                    train_lm_counts)
 from ocr_documents_spark.operators.pii import scrub_corpus
 from ocr_documents_spark.operators.quality_filters import \
     quality_filter_report
@@ -54,6 +61,8 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  weights: dict[str, float] | None = None,
                  seq_len: int = 2048,
                  dedup_threshold: float = 0.7,
+                 drop_lm_tail: bool = False,
+                 lm_sample_mod: int = 4,
                  out_dir: str | None = None) -> dict:
     """docs(doc_id, text[, source]) -> funnel metrics dict; when
     ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
@@ -69,6 +78,17 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                 .filter(F.col("keep")).select("doc_id"))
     cur = cur.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
     metrics["after_quality"] = cur.count()
+
+    # 2b. optional CCNet-style LM-perplexity tail drop: train on the
+    # deterministic 1/lm_sample_mod doc sample of the survivors, score
+    # everyone, cut the bottom quantile (tail tier)
+    if drop_lm_tail:
+        counts = train_lm_counts(cur, sample_mod=lm_sample_mod)
+        scored = perplexity_scores(cur, counts)
+        keep = (quality_tiers(scored, tier_thresholds(scored))
+                .filter(F.col("tier") != "tail").select("doc_id"))
+        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
+        metrics["after_lm_tail"] = cur.count()
 
     # 3. near-dup dedup: canonical survivors only
     canon = (dedup_groups(cur.select("doc_id", "text"),
@@ -112,6 +132,8 @@ def main(argv=None) -> int:
     p.add_argument("--weights", default=None,
                    help='JSON {"domain": rate, ...} for the mixing stage')
     p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--drop-lm-tail", action="store_true",
+                   help="CCNet-style LM-perplexity tail-quantile drop")
     args = p.parse_args(argv)
 
     from ocr_documents_spark.session import get_spark
@@ -120,7 +142,9 @@ def main(argv=None) -> int:
     bench = spark.read.parquet(args.bench) if args.bench else None
     weights = json.loads(args.weights) if args.weights else None
     metrics = run_curation(spark, docs, bench, weights,
-                           seq_len=args.seq_len, out_dir=args.out)
+                           seq_len=args.seq_len,
+                           drop_lm_tail=args.drop_lm_tail,
+                           out_dir=args.out)
     print(json.dumps(metrics))
     spark.stop()
     return 0

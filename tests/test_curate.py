@@ -118,3 +118,18 @@ def test_manifest_consistent_with_corpus(spark, result):
     assert metrics["manifest_slices"] == manifest.count()
     assert metrics["train_sequences"] == \
         manifest.agg(F.max("seq_id")).first()[0] + 1
+
+
+def test_lm_tail_stage_drops_tail_quantile(spark):
+    """drop_lm_tail inserts the CCNet-style perplexity cut between the
+    quality gate and dedup: the funnel gains after_lm_tail ~ 70% of the
+    quality survivors (tail_frac = 0.30, modulo ties at the cut and
+    unscorable docs), and every later stage consumes the reduced set."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source"))
+    m = run_curation(spark, docs, drop_lm_tail=True)
+    assert "after_lm_tail" in m
+    q, t = m["after_quality"], m["after_lm_tail"]
+    assert t < q
+    assert abs(t - 0.7 * q) <= 0.05 * q, (q, t)
+    assert m["after_dedup"] <= t
