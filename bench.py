@@ -136,6 +136,8 @@ def main() -> None:
     from ocr_documents_spark.operators.packing import pack_sequences
     from ocr_documents_spark.operators.quality_filters import \
         quality_filter_report
+    from ocr_documents_spark.operators.line_dedup import \
+        remove_common_lines
     from ocr_documents_spark.operators.ngram_lm import (
         dsir_select, perplexity_scores, quality_tiers, tier_thresholds,
         train_lm_counts)
@@ -168,6 +170,7 @@ def main() -> None:
         "domain_mixing": lambda: domain_weighted_sample(
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
+        "line_dedup": lambda: remove_common_lines(bench_docs),
         "perplexity_tiers": lambda: (lambda scored: quality_tiers(
             scored, tier_thresholds(scored)))(perplexity_scores(
                 bench_docs, train_lm_counts(bench_docs, sample_mod=4))),

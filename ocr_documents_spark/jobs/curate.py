@@ -10,6 +10,10 @@ each emits one row in the funnel metrics):
 
 1. **scrub** — PII masking (operators/pii): per-row regexp chain, the
    text every later stage sees is already masked;
+1b. **line_dedup** (optional, ``strip_boilerplate=True``) — corpus-wide
+   repeated-line removal (operators/line_dedup): boilerplate lines
+   occurring in many documents are stripped before quality scoring
+   sees them;
 2. **quality** — Gopher/C4 rule report (operators/quality_filters),
    keep only docs passing every rule;
 2b. **lm_tail** (optional, ``drop_lm_tail=True``) — CCNet-style
@@ -45,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ocr_documents_spark.operators.decontaminate import decontaminate
 from ocr_documents_spark.operators.dedup import dedup_groups
+from ocr_documents_spark.operators.line_dedup import remove_common_lines
 from ocr_documents_spark.operators.mixing import domain_weighted_sample
 from ocr_documents_spark.operators.packing import pack_sequences
 from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
@@ -61,6 +66,7 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  weights: dict[str, float] | None = None,
                  seq_len: int = 2048,
                  dedup_threshold: float = 0.7,
+                 strip_boilerplate: bool = False,
                  drop_lm_tail: bool = False,
                  lm_sample_mod: int = 4,
                  out_dir: str | None = None) -> dict:
@@ -72,6 +78,17 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     # 1. scrub — downstream stages consume the masked text
     cur = (scrub_corpus(docs, "text", "clean_text")
            .drop("text").withColumnRenamed("clean_text", "text"))
+
+    # 1b. optional corpus-wide boilerplate-line strip: text is
+    # REWRITTEN (docs survive), so the count tracked is lines dropped
+    if strip_boilerplate:
+        stripped = remove_common_lines(cur).localCheckpoint()
+        metrics["boilerplate_lines_dropped"] = int(
+            stripped.agg(F.sum("n_dropped")).first()[0] or 0)
+        cur = (cur.drop("text")
+               .join(stripped.select("doc_id",
+                                     F.col("clean_text").alias("text")),
+                     "doc_id"))
 
     # 2. quality keep/drop
     keep_ids = (quality_filter_report(cur)
@@ -134,6 +151,8 @@ def main(argv=None) -> int:
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--drop-lm-tail", action="store_true",
                    help="CCNet-style LM-perplexity tail-quantile drop")
+    p.add_argument("--strip-boilerplate", action="store_true",
+                   help="corpus-wide repeated-line removal before quality")
     args = p.parse_args(argv)
 
     from ocr_documents_spark.session import get_spark
@@ -143,6 +162,7 @@ def main(argv=None) -> int:
     weights = json.loads(args.weights) if args.weights else None
     metrics = run_curation(spark, docs, bench, weights,
                            seq_len=args.seq_len,
+                           strip_boilerplate=args.strip_boilerplate,
                            drop_lm_tail=args.drop_lm_tail,
                            out_dir=args.out)
     print(json.dumps(metrics))

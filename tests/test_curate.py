@@ -133,3 +133,24 @@ def test_lm_tail_stage_drops_tail_quantile(spark):
     assert t < q
     assert abs(t - 0.7 * q) <= 0.05 * q, (q, t)
     assert m["after_dedup"] <= t
+
+
+def test_strip_boilerplate_stage_rewrites_not_drops(spark):
+    """strip_boilerplate=True removes corpus-wide repeated lines while
+    keeping the documents themselves: the funnel reports the dropped
+    line count, the doc count through the stage is unchanged, and a
+    boilerplate-only footer no longer reaches the packed corpus."""
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source")
+            .withColumn("text", F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to the example newsletter today"))))
+    m = run_curation(spark, base, strip_boilerplate=True)
+    assert m["boilerplate_lines_dropped"] >= 500
+    m_plain = run_curation(
+        spark, base.withColumn(
+            "text", F.regexp_replace(
+                "text", "\nsubscribe to the example newsletter today", "")))
+    # stripping the footer corpus-side must agree with never having it
+    assert m["after_quality"] == m_plain["after_quality"]
+    assert m["train_tokens"] == m_plain["train_tokens"]
