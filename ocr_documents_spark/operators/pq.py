@@ -17,7 +17,7 @@ work touches codes, never raw vectors.
 
 Engine shape:
 
-* training reuses ``ivf.train_centroids`` per subspace (Lloyd's as
+* training runs ONE grouped Lloyd's over all m subspaces at once (as
   DataFrames on the deterministic md5 hash-sample, rounded centroids);
 * encode = m broadcast nearest-centroid assignments, one row per vector
   with its m codes (the compressed index table);
@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
-from .ivf import TRAIN_SAMPLE_MOD, _as_double, _dist2, train_centroids
+from .ivf import TRAIN_SAMPLE_MOD, _as_double, _dist2
 
 M_SUBS = 4          # subspaces (64-dim corpus -> 16 dims each)
 K_CODES = 16        # centroids per subspace (4-bit codes)
@@ -68,23 +68,60 @@ def _sub_emb(emb: DataFrame, s: int, width: int) -> DataFrame:
         .alias("embedding"))
 
 
+def _stacked_subs(e: DataFrame, m: int, width: int) -> DataFrame:
+    """ONE projection -> (vec_id, sub, embedding): every subspace slice
+    of every vector, m rows per vector from a single scan (the per-
+    subspace loop this replaces ran m full training pipelines)."""
+    return e.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.slice("embedding", s * width + 1, width)
+            for s in range(m)])).alias("sub", "embedding"))
+
+
 def train_pq_codebooks(emb: DataFrame, m: int = M_SUBS,
                        iters: int = PQ_ITERS,
                        sample_mod: int = TRAIN_SAMPLE_MOD,
                        dim: int | None = None) -> DataFrame:
-    """-> (sub, code, cvec): m independent sub-codebooks, each trained
-    with the ivf module's sampled Lloyd's on its slice of the corpus.
-    Pass ``dim`` when known (callers of the DuckDB twin already know
-    it) to skip the one-row inference job."""
+    """-> (sub, code, cvec): m independent sub-codebooks, trained as
+    ONE grouped Lloyd's pipeline over the stacked (vec_id, sub,
+    sub-vector) table — assignment joins the broadcast m×k codebook,
+    recompute groups by (sub, code); iteration count and every rounding
+    rule match the ivf trainer exactly, so the per-subspace DuckDB twin
+    is unchanged.  Pass ``dim`` when known (callers of the DuckDB twin
+    already know it) to skip the one-row inference job."""
+    from .ivf import _train_sample_filter
     e = _as_double(emb)
     width = _dim(emb, dim) // m
-    parts = []
-    for s in range(m):
-        cb = train_centroids(_sub_emb(e, s, width), init_ids=PQ_INIT_IDS,
-                             iters=iters, sample_mod=sample_mod)
-        parts.append(cb.select(F.lit(s).alias("sub"),
-                               F.col("cell").alias("code"), "cvec"))
-    return reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint()
+    stacked = _stacked_subs(e, m, width)
+    seed_map = emb.sparkSession.createDataFrame(
+        [(int(v), i) for i, v in enumerate(PQ_INIT_IDS)],
+        "vec_id long, code int")
+    cent = (stacked.join(F.broadcast(seed_map), "vec_id")
+            .select("sub", "code", F.col("embedding").alias("cvec")))
+    train = (stacked.filter(_train_sample_filter(sample_mod))
+             if sample_mod > 1 else stacked).localCheckpoint()
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"),
+                                                    F.asc("code"))
+    for _ in range(iters):
+        assigned = (train.join(F.broadcast(cent), "sub")
+                    .withColumn("d2", _dist2(F.col("embedding"),
+                                             F.col("cvec")))
+                    .withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") == 1)
+                    .select("sub", "code", "embedding"))
+        cent = (assigned
+                .select("sub", "code",
+                        F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("sub", "code", "dim")
+                .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
+                .groupBy("sub", "code")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                     .alias("s"))
+                .select("sub", "code",
+                        F.transform("s", lambda t: t["m"]).alias("cvec"))
+                ).localCheckpoint()
+    return cent
 
 
 def _dim(emb: DataFrame, dim: int | None = None) -> int:
@@ -113,9 +150,7 @@ def encode_pq(emb: DataFrame, codebooks: DataFrame,
     width = _dim(emb, dim) // m
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"),
                                                     F.asc("code"))
-    subs = [
-        _sub_emb(e, s, width).withColumn("sub", F.lit(s)) for s in range(m)]
-    stacked = reduce(lambda a, b: a.unionByName(b), subs)
+    stacked = _stacked_subs(e, m, width)
     return (stacked.join(F.broadcast(codebooks), "sub")
             .withColumn("d2", _dist2(F.col("embedding"), F.col("cvec")))
             .withColumn("r", F.row_number().over(w))
