@@ -21,6 +21,10 @@ each emits one row in the funnel metrics):
    corpus-sample n-gram LM and drop the tail quantile;
 3. **dedup** — MinHash/LSH near-dup groups (operators/dedup), keep
    canonical docs only;
+3b. **semdedup** (optional, pass ``emb``) — semantic near-dup removal
+   over document embeddings (operators/semdedup, the two-level
+   corpus-growth-safe path): non-canonical members of cosine groups
+   are dropped; documents without an embedding row are untouched;
 4. **decontaminate** — drop docs sharing any k-gram with the eval set
    (operators/decontaminate; skipped when no eval set is given);
 5. **mix** — deterministic per-domain weighted sampling
@@ -57,6 +61,8 @@ from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
                                                     tier_thresholds,
                                                     train_lm_counts)
 from ocr_documents_spark.operators.pii import scrub_corpus
+from ocr_documents_spark.operators.semdedup import \
+    semantic_dedup_groups_two_level
 from ocr_documents_spark.operators.quality_filters import \
     quality_filter_report
 
@@ -64,6 +70,7 @@ from ocr_documents_spark.operators.quality_filters import \
 def run_curation(spark: SparkSession, docs: DataFrame,
                  bench: DataFrame | None = None,
                  weights: dict[str, float] | None = None,
+                 emb: DataFrame | None = None,
                  seq_len: int = 2048,
                  dedup_threshold: float = 0.7,
                  strip_boilerplate: bool = False,
@@ -114,6 +121,19 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     cur = cur.join(canon, "doc_id", "left_semi").localCheckpoint()
     metrics["after_dedup"] = cur.count()
 
+    # 3b. optional semantic dedup over embeddings (two-level quantizer
+    # path): restrict to the lexical survivors first so dropped docs
+    # never claim canonical slots, then anti-join the non-canonicals —
+    # docs WITHOUT an embedding row pass through untouched
+    if emb is not None:
+        alive = (emb.join(cur.select(F.col("doc_id").alias("vec_id")),
+                          "vec_id", "left_semi"))
+        losers = (semantic_dedup_groups_two_level(alive)
+                  .filter(~F.col("is_canonical"))
+                  .select(F.col("vec_id").alias("doc_id")))
+        cur = cur.join(losers, "doc_id", "left_anti").localCheckpoint()
+        metrics["after_semdedup"] = cur.count()
+
     # 4. eval-set decontamination
     if bench is not None:
         cur = decontaminate(cur, bench).localCheckpoint()
@@ -146,6 +166,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--bench", default=None,
                    help="parquet of (bench_id, text) eval rows")
+    p.add_argument("--emb", default=None,
+                   help="parquet of (vec_id, embedding) for semantic "
+                        "dedup (vec_id == doc_id)")
     p.add_argument("--weights", default=None,
                    help='JSON {"domain": rate, ...} for the mixing stage')
     p.add_argument("--seq-len", type=int, default=2048)
@@ -160,7 +183,8 @@ def main(argv=None) -> int:
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench) if args.bench else None
     weights = json.loads(args.weights) if args.weights else None
-    metrics = run_curation(spark, docs, bench, weights,
+    emb = spark.read.parquet(args.emb) if args.emb else None
+    metrics = run_curation(spark, docs, bench, weights, emb=emb,
                            seq_len=args.seq_len,
                            strip_boilerplate=args.strip_boilerplate,
                            drop_lm_tail=args.drop_lm_tail,

@@ -154,3 +154,30 @@ def test_strip_boilerplate_stage_rewrites_not_drops(spark):
     # stripping the footer corpus-side must agree with never having it
     assert m["after_quality"] == m_plain["after_quality"]
     assert m["train_tokens"] == m_plain["train_tokens"]
+
+
+def test_semantic_dedup_stage_drops_embedding_twin(spark, corpus, bench):
+    """Passing emb engages the semantic stage: of two surviving docs
+    with near-identical embeddings the non-canonical one is dropped,
+    docs without an embedding row pass through, and the funnel gains
+    after_semdedup."""
+    import random
+    rng = random.Random(5)
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        return [x + rng.uniform(0, 0.01) for x in v]
+    v0 = vec(0)
+    emb_rows = [(0, v0), (2, [x * 1.001 + 0.0005 for x in v0])] + [
+        (i, vec(i)) for i in (1, 3, 5, 6)]   # doc 4 has NO embedding
+    emb = spark.createDataFrame(emb_rows,
+                                "vec_id long, embedding array<double>")
+    m = run_curation(spark, corpus, bench,
+                     {"web": 1.0, "books": 1.0, "dropme": 0.0}, emb=emb)
+    m_plain = run_curation(spark, corpus, bench,
+                           {"web": 1.0, "books": 1.0, "dropme": 0.0})
+    assert m["after_semdedup"] == m["after_dedup"] - 1
+    # doc 2 (the non-canonical twin of doc 0) is the one dropped;
+    # everything else, including embedding-less doc 4, flows through
+    assert m["train_sequences"] <= m_plain["train_sequences"]
+    assert m["after_decontaminate"] == m_plain["after_decontaminate"] - 1
