@@ -283,6 +283,78 @@ def assign_two_level(emb: DataFrame, cent: DataFrame,
     return _nearest_sub(_nearest_cell(_as_double(emb), cent), sub_cent)
 
 
+NPROBE_FINE = 10
+
+
+def ivf_topk_two_level(emb: DataFrame, query_filter, candidate_filter,
+                       k: int = 3, nprobe: int = NPROBE,
+                       nprobe_fine: int = NPROBE_FINE,
+                       sub_k: int | None = None,
+                       iters: int = ITERS, sub_iters: int = SUB_ITERS,
+                       sample_mod: int = TRAIN_SAMPLE_MOD,
+                       avg_cell_size: int = AVG_CELL_SIZE,
+                       codebooks: tuple[DataFrame, DataFrame] | None = None
+                       ) -> DataFrame:
+    """ANN over the HIERARCHICAL index -> (query_id, neighbor_id, cos,
+    rank): the query rides the broadcast k1-row coarse codebook to its
+    ``nprobe`` coarse cells, ranks those cells' sub-centroids through
+    the KEYED join on the coarse cell (the k1×k2 fine codebook is never
+    broadcast), scans only the best ``nprobe_fine`` fine cells'
+    members, and exact cosine re-ranks.  This is the flat
+    :func:`ivf_topk` probe with its one scaling cap removed — fine-cell
+    counts can grow with the corpus (see the two-level trainer notes)
+    while every broadcast stays k1-sized.  ``sub_k`` defaults to the
+    corpus-size rule; pass ``codebooks=(cent, sub_cent)`` to reuse a
+    trained pair."""
+    if codebooks is not None:
+        cent, sub_cent = codebooks
+    else:
+        if sub_k is None:
+            sub_k = sub_k_for(emb.count(), K_CELLS, avg_cell_size)
+        cent, sub_cent = train_two_level(emb, sub_k, iters=iters,
+                                         sub_iters=sub_iters,
+                                         sample_mod=sample_mod)
+    e = _as_double(emb)
+
+    # INDEX: fine-cell assignment of the candidate corpus
+    cands = (_nearest_sub(_nearest_cell(e.filter(candidate_filter), cent),
+                          sub_cent)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("cv"), "cell", "sub"))
+
+    # PROBE level 1: top-nprobe coarse cells per query (broadcast)
+    q = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    coarse_probes = (q.crossJoin(F.broadcast(cent))
+                     .withColumn("d2", _dist2(F.col("qv"), F.col("cvec")))
+                     .withColumn("r", F.row_number().over(wq))
+                     .filter(F.col("r") <= nprobe)
+                     .select("query_id", "qv", "cell"))
+
+    # PROBE level 2: rank the probed cells' sub-centroids via the keyed
+    # join; a probed cell with no sub-codebook contributes its sub=-1
+    # bucket (same disposition as assignment)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("cell"), F.asc("sub"))
+    fine_probes = (coarse_probes.join(sub_cent, "cell", "left")
+                   .withColumn("d2", _dist2(F.col("qv"), F.col("scvec")))
+                   .withColumn("sub", F.coalesce(F.col("sub"), F.lit(-1)))
+                   .withColumn("r", F.row_number().over(wf))
+                   .filter(F.col("r") <= nprobe_fine)
+                   .select("query_id", "qv", "cell", "sub"))
+
+    scored = (fine_probes.join(cands, ["cell", "sub"])
+              .withColumn("cos",
+                          F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                          + F.lit(0.0)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle builders (same math, iterations unrolled)
 # ---------------------------------------------------------------------------

@@ -152,3 +152,64 @@ def test_ivf_training_plan_scans_sample_only(spark):
     e_train = e.filter(_train_sample_filter(TRAIN_SAMPLE_MOD))
     plan = e_train._jdf.queryExecution().optimizedPlan().toString()
     assert "md5" in plan and "% 4" in plan
+
+
+def test_two_level_full_probe_equals_bruteforce(spark):
+    """Probing every coarse cell and every fine cell degenerates to the
+    exact answer — the hierarchical probe loses nothing when opened all
+    the way, exactly like the flat quantizer."""
+    import pyspark.sql.functions as SF
+    from ocr_documents_spark.operators.ivf import (K_CELLS,
+                                                   ivf_topk_two_level)
+    from ocr_documents_spark.queries import q21_knn_bruteforce
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full = ivf_topk_two_level(emb, SF.col("vec_id") < 5,
+                              SF.col("vec_id") >= 5, sub_k=4,
+                              nprobe=K_CELLS,
+                              nprobe_fine=K_CELLS * 5)
+    got = {(r["query_id"], r["neighbor_id"], r["cos"])
+           for r in full.collect()}
+    bf = {(r["query_id"], r["neighbor_id"], r["cos"])
+          for r in q21_knn_bruteforce(spark, SF_DIR).collect()}
+    assert got == bf
+
+
+def test_two_level_finds_engineered_neighbors_at_rank1(spark):
+    """Strong-structure regime: every engineered cos~0.9997 pair is
+    found at rank 1 through the hierarchical probe at default widths
+    (allowing the rare coarse-boundary straddle the flat tests allow)."""
+    import pyspark.sql.functions as SF
+    from ocr_documents_spark.operators.ivf import ivf_topk_two_level
+    from ocr_documents_spark.queries import (NEARDUP_N, NEARDUP_OFFSET,
+                                             NEARDUP_SCALE, NEARDUP_SHIFT)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    eng = (emb.filter(SF.col("vec_id") < NEARDUP_N)
+           .select((SF.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+                   SF.transform("embedding",
+                                lambda v: v * NEARDUP_SCALE + NEARDUP_SHIFT)
+                   .alias("embedding")))
+    uni = emb.unionByName(eng)
+    got = ivf_topk_two_level(uni, SF.col("vec_id") >= NEARDUP_OFFSET,
+                             SF.col("vec_id") < NEARDUP_OFFSET,
+                             sub_k=4).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    found = sum(1 for i in range(NEARDUP_N)
+                if top1.get(i + NEARDUP_OFFSET) == i)
+    assert found >= NEARDUP_N - 2, top1
+
+
+def test_two_level_probe_plan_never_broadcasts_fine_codebook(spark):
+    """The hierarchical probe's scale contract: only the k1-row coarse
+    codebook rides a broadcast; sub-centroid ranking and the fine-cell
+    scan are keyed joins, and nothing is a corpus cartesian."""
+    import pyspark.sql.functions as SF
+    from ocr_documents_spark.operators.ivf import ivf_topk_two_level
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = ivf_topk_two_level(emb, SF.col("vec_id") < 5,
+                              SF.col("vec_id") >= 5, sub_k=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln or "BroadcastHashJoin" in ln:
+            assert "scvec" not in ln, ln
