@@ -87,8 +87,12 @@ def run_curation(spark: SparkSession, docs: DataFrame,
            .drop("text").withColumnRenamed("clean_text", "text"))
 
     # 1b. optional corpus-wide boilerplate-line strip: text is
-    # REWRITTEN (docs survive), so the count tracked is lines dropped
+    # REWRITTEN (docs survive), so the count tracked is lines dropped.
+    # Checkpoint the scrub output first — the line table, the census
+    # and the text join-back would otherwise each re-run the PII
+    # regexp chain (the job's most expensive projection) over the corpus
     if strip_boilerplate:
+        cur = cur.localCheckpoint()
         stripped = remove_common_lines(cur).localCheckpoint()
         metrics["boilerplate_lines_dropped"] = int(
             stripped.agg(F.sum("n_dropped")).first()[0] or 0)
@@ -128,7 +132,11 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     if emb is not None:
         alive = (emb.join(cur.select(F.col("doc_id").alias("vec_id")),
                           "vec_id", "left_semi"))
-        losers = (semantic_dedup_groups_two_level(alive)
+        # seed_by_hash: production doc ids need not contain the fixture
+        # seed ids — absolute-id seeds would silently shrink the
+        # codebook (or empty it) and the stage would no-op
+        losers = (semantic_dedup_groups_two_level(alive,
+                                                  seed_by_hash=True)
                   .filter(~F.col("is_canonical"))
                   .select(F.col("vec_id").alias("doc_id")))
         cur = cur.join(losers, "doc_id", "left_anti").localCheckpoint()

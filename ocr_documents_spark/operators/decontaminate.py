@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over, ws_words_col
+from .dedup import fingerprint15 as _fp, ngrams_over, ws_words_col
 
 K_WORDS = 8  # published pipelines use 8-13 word windows
 # mode="auto" broadcasts the eval grams below this count (~15 bytes/fp
@@ -48,11 +48,6 @@ def _doc_grams(docs: DataFrame, k: int, id_col: str,
             .select(id_col,
                     F.explode(F.array_distinct(
                         ngrams_over(F.col("ws"), k))).alias("gram")))
-
-
-def _fp(col):
-    """The house-style cross-engine fingerprint: first 15 md5 hex."""
-    return F.substring(F.md5(col), 1, 15)
 
 
 def benchmark_grams(bench: DataFrame, k: int = K_WORDS,

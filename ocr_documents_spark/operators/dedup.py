@@ -97,6 +97,14 @@ def ws_words_col(text_col):
     return F.filter(F.split(text_col, "\\s+"), lambda w: w != "")
 
 
+def fingerprint15(col):
+    """THE house-style cross-engine content fingerprint: first 15 md5
+    hex digits (fixed 15-byte shuffle/join key; DuckDB twin:
+    ``substr(md5(x), 1, 15)``).  Shared by every operator that keys an
+    exchange on text content — change the width/policy HERE only."""
+    return F.substring(F.md5(col), 1, 15)
+
+
 def ngrams_over(words, n: int):
     """Word n-grams via higher-order array functions — entirely JVM-side,
     ZERO shuffle.  ``words`` MUST be a materialized column reference, not an
@@ -229,9 +237,11 @@ def band_index(sig: DataFrame, bands: int = BANDS) -> DataFrame:
         .alias("band_idx", "band"))
 
 
-def incremental_candidates(new_docs: DataFrame, index: DataFrame,
+def incremental_candidates(new_docs: DataFrame | None, index: DataFrame,
                            n_hashes: int = N_HASHES, bands: int = BANDS,
-                           shingle_n: int = SHINGLE_N) -> DataFrame:
+                           shingle_n: int = SHINGLE_N,
+                           signatures: DataFrame | None = None
+                           ) -> DataFrame:
     """Incremental dedup candidates: a NEW batch against the stored band
     index -> (new_doc_id, index_doc_id).
 
@@ -243,9 +253,13 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
     or straight to a drop decision for exact-signature matches.
     New-vs-new duplicates inside the batch are the ordinary
     ``candidate_pairs`` over the batch — run both, union the edges.
+    Pass ``signatures`` (minhash_signatures output) when the batch is
+    already hashed — the streaming committer computes signatures once
+    for the gate, the index write AND this probe.
     """
-    new_bands = band_index(
-        minhash_signatures(new_docs, n_hashes, bands, shingle_n), bands)
+    sig = (signatures if signatures is not None
+           else minhash_signatures(new_docs, n_hashes, bands, shingle_n))
+    new_bands = band_index(sig, bands)
     return (new_bands.alias("n")
             .join(index.alias("i"), ["band_idx", "band"])
             .filter(F.col("n.doc_id") != F.col("i.doc_id"))

@@ -99,27 +99,51 @@ def _recompute(assigned: DataFrame) -> DataFrame:
             .select("cell", F.transform("s", lambda t: t["m"]).alias("cvec")))
 
 
+def _hash_seeds(e: DataFrame, k: int) -> DataFrame:
+    """Data-derived deterministic seeds -> (cell, cvec): the k vectors
+    with the smallest (md5(vec_id), vec_id), whatever the corpus's id
+    space — fixture-independent, unlike the absolute INIT_IDS (which
+    silently shrink the codebook on a corpus that lacks those ids).
+    orderBy().limit(k) plans as TakeOrdered (per-partition top-k merged
+    on the driver), never a corpus sort; the row_number window then
+    runs over k rows only."""
+    top = (e.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+           .orderBy(F.asc("__h"), F.asc("vec_id")).limit(k))
+    w = Window.orderBy(F.asc("__h"), F.asc("vec_id"))
+    return (top.withColumn("cell", F.row_number().over(w) - 1)
+            .select("cell", F.col("embedding").alias("cvec")))
+
+
 def train_centroids(emb: DataFrame, init_ids: list[int] = None,
                     iters: int = ITERS,
-                    sample_mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+                    sample_mod: int = TRAIN_SAMPLE_MOD,
+                    seed_by_hash: bool = False,
+                    k: int = K_CELLS) -> DataFrame:
     """Lloyd's k-means -> (cell, cvec) trained codebook.
 
     Training runs on the deterministic 1/``sample_mod`` hash-sample
     (``sample_mod=1`` trains on everything); seed vectors are fetched by
     id from the FULL corpus so initialization never depends on the sample.
-    The returned k-row codebook is localCheckpoint()ed — callers reuse the
-    materialized result across the index build and every probe instead of
-    re-training per consumer.
+    ``seed_by_hash=True`` derives the seeds from the data instead (the k
+    smallest md5(vec_id) — required for corpora whose id space does not
+    contain the fixture INIT_IDS; an absent seed id would silently
+    shrink the codebook).  The returned k-row codebook is
+    localCheckpoint()ed — callers reuse the materialized result across
+    the index build and every probe instead of re-training per consumer.
     """
     init_ids = INIT_IDS if init_ids is None else init_ids
     e = _as_double(emb)
     e_train = (e.filter(_train_sample_filter(sample_mod))
                if sample_mod > 1 else e)
-    spark = emb.sparkSession
-    seed_map = spark.createDataFrame(
-        [(int(v), i) for i, v in enumerate(init_ids)], "vec_id long, cell int")
-    cent = (e.join(F.broadcast(seed_map), "vec_id")
-            .select("cell", F.col("embedding").alias("cvec")))
+    if seed_by_hash:
+        cent = _hash_seeds(e, k)
+    else:
+        spark = emb.sparkSession
+        seed_map = spark.createDataFrame(
+            [(int(v), i) for i, v in enumerate(init_ids)],
+            "vec_id long, cell int")
+        cent = (e.join(F.broadcast(seed_map), "vec_id")
+                .select("cell", F.col("embedding").alias("cvec")))
     for _ in range(iters):
         # materialize the k-row codebook each round: otherwise iteration
         # i's plan embeds every previous round, and each downstream
@@ -245,8 +269,9 @@ def train_two_level(emb: DataFrame, sub_k: int,
                     init_ids: list[int] = None, iters: int = ITERS,
                     sub_iters: int = SUB_ITERS,
                     sample_mod: int = TRAIN_SAMPLE_MOD,
-                    coarse: DataFrame | None = None
-                    ) -> tuple[DataFrame, DataFrame]:
+                    coarse: DataFrame | None = None,
+                    seed_by_hash: bool = False,
+                    k: int = K_CELLS) -> tuple[DataFrame, DataFrame]:
     """-> (coarse(cell, cvec), fine(cell, sub, scvec)): the hierarchical
     codebook pair.  Per-cell seeds are the cell's ``sub_k`` training
     members with the smallest (md5(vec_id), vec_id) — deterministic and
@@ -256,7 +281,8 @@ def train_two_level(emb: DataFrame, sub_k: int,
     codebook broadcast."""
     cent = (coarse if coarse is not None
             else train_centroids(emb, init_ids=init_ids, iters=iters,
-                                 sample_mod=sample_mod))
+                                 sample_mod=sample_mod,
+                                 seed_by_hash=seed_by_hash, k=k))
     e = _as_double(emb)
     e_train = (e.filter(_train_sample_filter(sample_mod))
                if sample_mod > 1 else e)
@@ -330,15 +356,21 @@ def ivf_topk_two_level(emb: DataFrame, query_filter, candidate_filter,
                      .withColumn("d2", _dist2(F.col("qv"), F.col("cvec")))
                      .withColumn("r", F.row_number().over(wq))
                      .filter(F.col("r") <= nprobe)
-                     .select("query_id", "qv", "cell"))
+                     .select("query_id", "qv", "cell",
+                             F.col("d2").alias("c_d2")))
 
     # PROBE level 2: rank the probed cells' sub-centroids via the keyed
     # join; a probed cell with no sub-codebook contributes its sub=-1
-    # bucket (same disposition as assignment)
+    # bucket ranked by ITS COARSE-CELL DISTANCE — an unqualified NULL
+    # would sort NULLS-FIRST and evict genuinely closer fine cells from
+    # the nprobe_fine budget
     wf = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("cell"), F.asc("sub"))
     fine_probes = (coarse_probes.join(sub_cent, "cell", "left")
-                   .withColumn("d2", _dist2(F.col("qv"), F.col("scvec")))
+                   .withColumn("d2",
+                               F.coalesce(_dist2(F.col("qv"),
+                                                 F.col("scvec")),
+                                          F.col("c_d2")))
                    .withColumn("sub", F.coalesce(F.col("sub"), F.lit(-1)))
                    .withColumn("r", F.row_number().over(wf))
                    .filter(F.col("r") <= nprobe_fine)
@@ -434,23 +466,37 @@ def _duck_sub_seeds(atrain_cte: str, sub_k: int, out: str) -> str:
 def duckdb_two_level_assign_ctes(sub_k: int, iters: int = ITERS,
                                  sub_iters: int = SUB_ITERS,
                                  init_ids: list[int] = None,
-                                 sample_mod: int = TRAIN_SAMPLE_MOD
-                                 ) -> list[str]:
+                                 sample_mod: int = TRAIN_SAMPLE_MOD,
+                                 seed_by_hash: bool = False,
+                                 k: int = K_CELLS) -> list[str]:
     """CTE chain (over an ``e(vec_id, embedding)`` CTE the caller must
     prepend) ending in ``assigned(vec_id, embedding, cell, sub)`` — the
     full-corpus fine-cell assignment of the two-level quantizer, exact
-    twin of train_two_level + assign_two_level."""
+    twin of train_two_level + assign_two_level (incl. the
+    ``seed_by_hash`` data-derived seeding)."""
     init_ids = INIT_IDS if init_ids is None else init_ids
     seed_values = ", ".join(f"({v}, {i})" for i, v in enumerate(init_ids))
     train_src = ("e" if sample_mod <= 1 else f"""(
             SELECT vec_id, embedding FROM e
             WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
                   % {sample_mod} = 0)""")
-    parts = [f"""c0 AS (
+    if seed_by_hash:
+        c0 = f"""c0 AS (
+            SELECT rn - 1 AS cell, embedding AS cvec FROM (
+                SELECT embedding,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                    vec_id ASC) AS rn
+                FROM e)
+            WHERE rn <= {k}
+        )"""
+    else:
+        c0 = f"""c0 AS (
             SELECT m.cell, e.embedding AS cvec
             FROM e JOIN (VALUES {seed_values}) m(vid, cell)
               ON e.vec_id = m.vid
-        )"""]
+        )"""
+    parts = [c0]
     for i in range(iters):
         parts.append(_duck_assign(train_src, f"c{i}", f"a{i}"))
         parts.append(_duck_recompute(f"a{i}", f"c{i + 1}"))

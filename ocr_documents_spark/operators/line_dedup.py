@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fingerprint15
+
 MIN_DOCS = 5     # document-frequency threshold for boilerplate
 MIN_CHARS = 5    # shortest trimmed line eligible for removal
 
@@ -50,8 +52,7 @@ def _line_table(docs: DataFrame, id_col: str, text_col: str,
             .withColumn("key_fp",
                         F.when(F.length(F.trim(F.col("line")))
                                >= min_chars,
-                               F.substring(
-                                   F.md5(F.trim(F.col("line"))), 1, 15))))
+                               fingerprint15(F.trim(F.col("line"))))))
 
 
 def common_line_fps(docs: DataFrame, min_docs: int = MIN_DOCS,

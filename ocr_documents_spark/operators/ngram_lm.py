@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over, ws_words_col
+from .dedup import fingerprint15 as _fp, ngrams_over, ws_words_col
 from .mixing import U_SCALE
 from .rank import with_global_rank
 
@@ -52,11 +52,6 @@ N_GRAM = 2          # bigram default (CCNet uses 5-grams on chars; word
 MICRO = 1_000_000   # log-space quantization: integer micro-nats
 HEAD_FRAC = 0.10    # CCNet-style tier cuts: top 10% = head,
 TAIL_FRAC = 0.30    # bottom 30% = tail, the rest = middle
-
-
-def _fp(col: Column) -> Column:
-    """House-style cross-engine gram fingerprint: first 15 md5 hex."""
-    return F.substring(F.md5(col), 1, 15)
 
 
 def _micro_ln(x: Column) -> Column:
@@ -136,32 +131,75 @@ def perplexity_scores(docs: DataFrame, counts: DataFrame,
             .select(id_col, "n_grams", "avg_logp"))
 
 
+def _score_i(col: Column) -> Column:
+    """avg_logp back to its exact integer 1e-4 grid (it was produced as
+    r/1e4, and round(x*1e4) of that double recovers r exactly — never a
+    half boundary, x sits within an ulp of the integer)."""
+    return F.round(col * 10000).cast("long")
+
+
 def tier_thresholds(scored: DataFrame, head_frac: float = HEAD_FRAC,
-                    tail_frac: float = TAIL_FRAC) -> DataFrame:
-    """One-row (head_cut, tail_cut): corpus quantiles of avg_logp (the
-    CCNet recipe computes these on a sample; pass a sampled ``scored``
-    for that).  Exact interpolated percentile over the non-null
-    scores."""
-    s = scored.filter(F.col("avg_logp").isNotNull())
-    return s.agg(
-        (F.round(F.percentile("avg_logp", F.lit(1.0 - head_frac)), 4)
-         + 0.0).alias("head_cut"),
-        (F.round(F.percentile("avg_logp", F.lit(tail_frac)), 4)
-         + 0.0).alias("tail_cut"))
+                    tail_frac: float = TAIL_FRAC,
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-row (head_cut_s100, tail_cut_s100, head_cut, tail_cut):
+    corpus quantiles of avg_logp (the CCNet recipe computes these on a
+    sample; pass a sampled ``scored`` for that).
+
+    The interpolated percentile is computed ENTIRELY in integer space —
+    scores on their exact 1e-4 grid, percent as integer hundredths,
+    cut = a*(100-rem) + b*rem at 1e-6 scale — because rounding an
+    interpolated double with round(.., 4) is exactly the cross-engine
+    half-boundary pattern CLAUDE.md forbids (a midpoint of two adjacent
+    1e-4 grid values lands exactly on .00005).  The same linear-
+    interpolation definition as the standard percentile, in exact
+    arithmetic; the double columns are display-only, comparisons run on
+    the integers.  Ranks come from the range-partitioned global rank —
+    no single-partition sort."""
+    p_head = int(round((1.0 - head_frac) * 100))
+    p_tail = int(round(tail_frac * 100))
+    s = (scored.filter(F.col("avg_logp").isNotNull())
+         .select(_score_i(F.col("avg_logp")).alias("score_i"),
+                 F.col(id_col)))
+    ranked = with_global_rank(s, [F.asc("score_i"), F.asc(id_col)], "rk")
+    n1 = ranked.agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.crossJoin(F.broadcast(n1))
+
+    def pieces(p: int, tag: str):
+        pos = (F.col("n") - 1) * p          # integer hundredths
+        lo = F.floor(pos / 100) + 1         # 1-based lower rank
+        return [
+            F.max(F.when(F.col("rk") == lo, F.col("score_i")))
+            .alias(f"{tag}_a"),
+            F.max(F.when(F.col("rk") == lo + 1, F.col("score_i")))
+            .alias(f"{tag}_b"),
+            F.max(F.pmod(pos, 100)).alias(f"{tag}_rem"),
+        ]
+
+    agg = j.agg(*pieces(p_head, "h"), *pieces(p_tail, "t"))
+
+    def cut(tag: str) -> Column:
+        a, b = F.col(f"{tag}_a"), F.col(f"{tag}_b")
+        rem = F.col(f"{tag}_rem")
+        return a * (100 - rem) + F.coalesce(b, a) * rem
+
+    return agg.select(
+        cut("h").alias("head_cut_s100"), cut("t").alias("tail_cut_s100"),
+        (cut("h").cast("double") / 1000000).alias("head_cut"),
+        (cut("t").cast("double") / 1000000).alias("tail_cut"))
 
 
 def quality_tiers(scored: DataFrame, thresholds: DataFrame,
                   id_col: str = "doc_id") -> DataFrame:
     """-> (doc_id, avg_logp, tier in {head, middle, tail}): head =
     avg_logp >= head_cut, tail = avg_logp <= tail_cut (unscorable docs
-    are tail — the conservative CCNet disposition), else middle."""
+    are tail — the conservative CCNet disposition), else middle.  The
+    comparisons run in exact integer space (score*100 vs cut_s100)."""
+    si = _score_i(F.col("avg_logp")) * 100
     return (scored.crossJoin(F.broadcast(thresholds))
             .withColumn("tier",
                         F.when(F.col("avg_logp").isNull(), "tail")
-                        .when(F.col("avg_logp") >= F.col("head_cut"),
-                              "head")
-                        .when(F.col("avg_logp") <= F.col("tail_cut"),
-                              "tail")
+                        .when(si >= F.col("head_cut_s100"), "head")
+                        .when(si <= F.col("tail_cut_s100"), "tail")
                         .otherwise("middle"))
             .select(id_col, "avg_logp", "tier"))
 
@@ -308,20 +346,48 @@ def duckdb_perplexity_sql(n: int = N_GRAM, sample_mod: int = 1) -> str:
 def duckdb_quality_tiers_sql(n: int = N_GRAM, sample_mod: int = 1,
                              head_frac: float = HEAD_FRAC,
                              tail_frac: float = TAIL_FRAC) -> str:
-    """Exact twin -> (doc_id, avg_logp, tier)."""
+    """Exact twin -> (doc_id, avg_logp, tier): the same integer
+    order-statistic interpolation (scores on the 1e-4 grid, cut at
+    1e-6 scale) — no double ever feeds a round or a comparison."""
+    p_head = int(round((1.0 - head_frac) * 100))
+    p_tail = int(round(tail_frac * 100))
     return f"""
         WITH scored AS ({duckdb_perplexity_sql(n, sample_mod)}),
-        cuts AS (
-            SELECT round(quantile_cont(avg_logp, {1.0 - head_frac}), 4)
-                       + 0.0 AS head_cut,
-                   round(quantile_cont(avg_logp, {tail_frac}), 4)
-                       + 0.0 AS tail_cut
+        r AS (
+            SELECT CAST(round(avg_logp * 10000) AS BIGINT) AS score_i,
+                   row_number() OVER (
+                       ORDER BY CAST(round(avg_logp * 10000) AS BIGINT)
+                           ASC, doc_id ASC) AS rk,
+                   count(*) OVER () AS n
             FROM scored WHERE avg_logp IS NOT NULL
+        ),
+        pieces AS (
+            SELECT
+              max(CASE WHEN rk = ((n-1)*{p_head})//100 + 1
+                       THEN score_i END) AS h_a,
+              max(CASE WHEN rk = ((n-1)*{p_head})//100 + 2
+                       THEN score_i END) AS h_b,
+              max(((n-1)*{p_head}) % 100) AS h_rem,
+              max(CASE WHEN rk = ((n-1)*{p_tail})//100 + 1
+                       THEN score_i END) AS t_a,
+              max(CASE WHEN rk = ((n-1)*{p_tail})//100 + 2
+                       THEN score_i END) AS t_b,
+              max(((n-1)*{p_tail}) % 100) AS t_rem
+            FROM r
+        ),
+        cuts AS (
+            SELECT h_a*(100-h_rem) + coalesce(h_b, h_a)*h_rem
+                       AS head_cut_s100,
+                   t_a*(100-t_rem) + coalesce(t_b, t_a)*t_rem
+                       AS tail_cut_s100
+            FROM pieces
         )
         SELECT doc_id, avg_logp,
                CASE WHEN avg_logp IS NULL THEN 'tail'
-                    WHEN avg_logp >= head_cut THEN 'head'
-                    WHEN avg_logp <= tail_cut THEN 'tail'
+                    WHEN CAST(round(avg_logp * 10000) AS BIGINT)*100
+                         >= head_cut_s100 THEN 'head'
+                    WHEN CAST(round(avg_logp * 10000) AS BIGINT)*100
+                         <= tail_cut_s100 THEN 'tail'
                     ELSE 'middle' END AS tier
         FROM scored CROSS JOIN cuts
     """

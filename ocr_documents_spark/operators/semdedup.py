@@ -118,6 +118,7 @@ def semantic_dedup_groups_two_level(emb: DataFrame,
                                     sub_iters: int = SUB_ITERS,
                                     sample_mod: int = TRAIN_SAMPLE_MOD,
                                     avg_cell_size: int = AVG_CELL_SIZE,
+                                    seed_by_hash: bool = False,
                                     cc_telemetry: dict | None = None
                                     ) -> DataFrame:
     """The corpus-growth-safe SemDeDup: same contract as
@@ -127,12 +128,27 @@ def semantic_dedup_groups_two_level(emb: DataFrame,
     is derived from the corpus size so expected cell occupancy stays
     ~``avg_cell_size`` as the corpus grows (the SemDeDup paper's
     n/avg_cluster_size rule).  Within-cell pair work is then O(n ·
-    avg_cell_size) corpus-wide instead of the fixed-k O(n²/k)."""
-    if sub_k is None:
-        sub_k = sub_k_for(emb.count(), K_CELLS, avg_cell_size)
+    avg_cell_size) corpus-wide instead of the fixed-k O(n²/k).
+    Pass ``seed_by_hash=True`` for corpora whose id space does not
+    contain the fixture INIT_IDS (e.g. arbitrary production ids) —
+    seeds are then the k smallest md5(vec_id) vectors, so the codebook
+    can never silently shrink to fewer cells."""
+    # coarse k follows occupancy too on the hash-seeded path: a tiny
+    # corpus must not get one cell per document (k ~= n makes every
+    # near-dup pair straddle a boundary and the dedup no-ops)
+    k_coarse = K_CELLS
+    if sub_k is None or seed_by_hash:
+        n = emb.count()
+        if seed_by_hash:
+            k_coarse = max(1, min(K_CELLS,
+                                  -(-n // avg_cell_size)))  # ceil div
+        if sub_k is None:
+            sub_k = sub_k_for(n, k_coarse, avg_cell_size)
     cent, sub_cent = train_two_level(emb, sub_k, iters=iters,
                                      sub_iters=sub_iters,
-                                     sample_mod=sample_mod)
+                                     sample_mod=sample_mod,
+                                     seed_by_hash=seed_by_hash,
+                                     k=k_coarse)
     assigned = assign_two_level(emb, cent, sub_cent)
     pairs = _pairs_within(assigned, ["cell", "sub"], threshold)
     return _groups_from_pairs(emb, pairs, cc_telemetry)
@@ -177,8 +193,9 @@ def duckdb_semantic_dedup_two_level_sql(input_sql: str, sub_k: int,
                                         threshold: float = COS_THRESHOLD,
                                         iters: int = ITERS,
                                         sub_iters: int = SUB_ITERS,
-                                        sample_mod: int = TRAIN_SAMPLE_MOD
-                                        ) -> str:
+                                        sample_mod: int = TRAIN_SAMPLE_MOD,
+                                        seed_by_hash: bool = False,
+                                        k: int = K_CELLS) -> str:
     """Exact SQL twin of :func:`semantic_dedup_groups_two_level` (with
     an explicit ``sub_k``): the full two-level training + assignment
     unrolled via ivf's builders, pairs joined on the fine (cell, sub)
@@ -190,7 +207,8 @@ def duckdb_semantic_dedup_two_level_sql(input_sql: str, sub_k: int,
             FROM ({input_sql})
         )"""]
     parts.extend(duckdb_two_level_assign_ctes(
-        sub_k, iters=iters, sub_iters=sub_iters, sample_mod=sample_mod))
+        sub_k, iters=iters, sub_iters=sub_iters, sample_mod=sample_mod,
+        seed_by_hash=seed_by_hash, k=k))
     parts.append(_CC_TAIL.format(
         join_cond="a.cell = b.cell AND a.sub = b.sub",
         threshold=threshold))

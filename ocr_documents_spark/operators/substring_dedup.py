@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import ngrams_over, ws_words_col
+from .dedup import fingerprint15, ngrams_over, ws_words_col
 
 # whitespace-wide tokens (shared ws_words_col): a duplicated passage
 # must match whether a line break or a space separates its words in
@@ -86,7 +86,7 @@ def duplicate_spans(docs: DataFrame, k: int = K_WORDS,
                      F.posexplode(ngrams_over(F.col("ws"), k))
                      .alias("pos", "gram"))
              .select(id_col, "pos",
-                     F.substring(F.md5("gram"), 1, 15).alias("gram_fp")))
+                     fingerprint15(F.col("gram")).alias("gram_fp")))
     census = (grams.groupBy("gram_fp")
               .agg(F.count(F.lit(1)).alias("occ"),
                    F.min(F.struct(F.col(id_col), F.col("pos")))

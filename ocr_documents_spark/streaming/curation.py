@@ -75,7 +75,10 @@ def curation_committer(lake, bench: DataFrame | None = None,
 
     n_hashes = n_hashes or D.N_HASHES
     bands = bands or D.BANDS
-    est_threshold = est_threshold or D.JACCARD_THRESHOLD
+    # 0.0 is a meaningful threshold (drop on any band hit) — only None
+    # falls back to the default
+    est_threshold = (D.JACCARD_THRESHOLD if est_threshold is None
+                     else est_threshold)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -132,8 +135,13 @@ def curation_committer(lake, bench: DataFrame | None = None,
             funnel["batch_est_drops"] = n_after_exact - n
 
             # cross-batch: probe the lake's accumulated band index, then
-            # verify each collision against the PERSISTED signatures
-            if L._path_exists(sess, lake.path(BAND_INDEX)):
+            # verify each collision against the PERSISTED signatures.
+            # BOTH index tables must exist: a crash between the two
+            # sequential index writes leaves a band index without its
+            # sibling sig index, and the replayed batch must degrade to
+            # "no verifiable state" (and then rewrite both), not crash
+            if (L._path_exists(sess, lake.path(BAND_INDEX))
+                    and L._path_exists(sess, lake.path(SIG_INDEX))):
                 # a replayed batch must not collide with its own
                 # previously-written state
                 not_self = F.col("ingest_batch") != int(batch_id)
@@ -141,13 +149,15 @@ def curation_committer(lake, bench: DataFrame | None = None,
                          .filter(not_self))
                 stored_sigs = (sess.read.parquet(lake.path(SIG_INDEX))
                                .filter(not_self))
-                new_bands = D.band_index(sig, bands)
-                hits = (new_bands.alias("n")
-                        .join(index.alias("i"), ["band_idx", "band"])
-                        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
-                        .select(F.col("n.doc_id").alias("doc_id"),
-                                F.col("i.doc_id").alias("index_doc_id"))
-                        .distinct())
+                # probe with the batch-dedup SURVIVORS only: an already-
+                # dropped doc can never be dropped again, so its
+                # collisions would only inflate index_band_hits
+                sig_cur = sig.join(cur.select("doc_id"), "doc_id",
+                                   "left_semi")
+                hits = (D.incremental_candidates(
+                            None, index, n_hashes, bands,
+                            signatures=sig_cur)
+                        .withColumnRenamed("new_doc_id", "doc_id"))
                 verified = (hits
                             .join(sig_arr, "doc_id")
                             .join(stored_sigs.select(

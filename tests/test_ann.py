@@ -213,3 +213,29 @@ def test_two_level_probe_plan_never_broadcasts_fine_codebook(spark):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln or "BroadcastHashJoin" in ln:
             assert "scvec" not in ln, ln
+
+
+def test_two_level_probe_missing_subcodebook_ranks_by_coarse_distance(spark):
+    """A probed coarse cell with no sub-codebook must rank by its
+    coarse-cell distance, not NULLS-FIRST ahead of every real fine cell
+    — otherwise its -1 bucket evicts genuinely closer fine cells from
+    the nprobe_fine budget and recall silently drops."""
+    import pyspark.sql.functions as SF
+    from ocr_documents_spark.operators.ivf import ivf_topk_two_level
+    emb = spark.createDataFrame(
+        [(0, [-1.0, 0.1]), (1, [1.0, 0.1]),      # cell 0's two subs
+         (2, [10.0, 10.0]),                       # cell 1 (no subs)
+         (100, [0.0, 0.1])],                      # the query
+        "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cell int, cvec array<double>")
+    sub_cent = spark.createDataFrame(
+        [(0, 0, [-1.0, 0.0]), (0, 1, [1.0, 0.0])],
+        "cell int, sub int, scvec array<double>")
+    got = {r["neighbor_id"] for r in ivf_topk_two_level(
+        emb, SF.col("vec_id") == 100, SF.col("vec_id") < 100,
+        k=2, nprobe=2, nprobe_fine=2,
+        codebooks=(cent, sub_cent)).collect()}
+    # with the NULLS-FIRST defect the far cell-1 bucket occupied a fine
+    # slot and one of {0, 1} was never scanned
+    assert got == {0, 1}

@@ -160,3 +160,46 @@ def test_injected_codebook_reused_not_retrained(emb):
     injected = sorted(tuple(r) for r in
                       SM.semantic_dedup_groups(emb, centroids=cb).collect())
     assert injected == default
+
+
+def test_hash_seeded_path_works_on_foreign_id_space(spark):
+    """Production corpora need not contain the fixture seed ids: on a
+    corpus whose every vec_id is shifted by 10^9 (so INIT_IDS match
+    nothing and absolute-id seeding would silently empty the codebook),
+    the seed_by_hash path must still group the engineered near-dups and
+    match the exact DuckDB twin value-for-value."""
+    SHIFT = 10 ** 9
+    base = (spark.read.parquet(PARQ).select("vec_id", "embedding")
+            .withColumn("vec_id", F.col("vec_id") + SHIFT))
+    eng = (base.filter(F.col("vec_id") < SHIFT + NEARDUP_N)
+           .select((F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+                   F.transform(
+                       "embedding",
+                       lambda v: v * NEARDUP_SCALE + NEARDUP_SHIFT)
+                   .alias("embedding")))
+    emb = base.unionByName(eng)
+    n = 500 + NEARDUP_N
+    k_coarse = max(1, min(8, -(-n // SM.AVG_CELL_SIZE)))
+    from ocr_documents_spark.operators.ivf import sub_k_for
+    sub_k = sub_k_for(n, k_coarse, SM.AVG_CELL_SIZE)
+    got = {r["vec_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in SM.semantic_dedup_groups_two_level(
+               emb, seed_by_hash=True).collect()}
+    shifted_sql = f"""
+        SELECT vec_id + {SHIFT} AS vec_id, embedding FROM '{PARQ}'
+        UNION ALL
+        SELECT vec_id + {SHIFT + NEARDUP_OFFSET},
+               list_transform(embedding,
+                              v -> v * {NEARDUP_SCALE} + {NEARDUP_SHIFT})
+        FROM '{PARQ}' WHERE vec_id < {NEARDUP_N}
+    """
+    con = duckdb.connect()
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        SM.duckdb_semantic_dedup_two_level_sql(
+            shifted_sql, sub_k=sub_k, seed_by_hash=True,
+            k=k_coarse)).fetchall()}
+    assert got == want
+    grouped = sum(
+        1 for i in range(NEARDUP_N)
+        if got[SHIFT + i + NEARDUP_OFFSET][0] == SHIFT + i)
+    assert grouped >= NEARDUP_N // 2, f"only {grouped} pairs grouped"

@@ -201,3 +201,53 @@ def test_replay_is_idempotent(setup):
     # and doc 12 survived the replay: its own batch-1 bands in the index
     # were excluded from the probe, so it did not collide with itself
     assert 12 in after
+
+
+def test_partial_index_state_degrades_instead_of_crashing(spark, tmp_path):
+    """A crash between the two sequential index writes leaves a band
+    index without its sibling sig index; the replayed batch must treat
+    the lake as having no verifiable state (index_band_hits = 0), not
+    crash-loop on the missing parquet path, and must then rewrite both
+    tables."""
+    import shutil
+    root = str(tmp_path / "lake")
+    lake = Lake(root, n_buckets=4)
+    commit = C.curation_committer(lake)
+    b0 = spark.createDataFrame([(1, GOOD_A, "web"), (2, GOOD_D, "web")],
+                               "doc_id long, text string, source string")
+    commit(b0, 0)
+    shutil.rmtree(lake.path(C.SIG_INDEX))      # the simulated half-write
+    b1 = spark.createDataFrame([(11, GOOD_A, "web")],
+                               "doc_id long, text string, source string")
+    commit(b1, 1)                              # must not raise
+    metrics = spark.read.parquet(lake.path(C.CURATION_METRICS))
+    row = metrics.filter(F.col("ingest_batch") == 1).first()
+    assert row["index_band_hits"] == 0
+    assert row["after_index_dedup"] == row["after_batch_dedup"]
+    # both index tables exist again after the successful commit
+    import os
+    assert os.path.isdir(lake.path(C.SIG_INDEX))
+
+
+def test_probe_counts_only_batch_survivors(spark, tmp_path):
+    """index_band_hits counts collisions of batch-dedup SURVIVORS only:
+    a doc already dropped within the batch cannot be dropped again, so
+    its collisions must not inflate the hits metric (the documented
+    hits - drops = avoided-false-drops invariant)."""
+    root = str(tmp_path / "lake")
+    lake = Lake(root, n_buckets=4)
+    commit = C.curation_committer(lake)
+    b0 = spark.createDataFrame([(1, GOOD_A, "web")],
+                               "doc_id long, text string, source string")
+    commit(b0, 0)
+    # batch 1: two copies of the indexed doc — the within-batch gate
+    # drops doc 12, so only doc 11 can collide with stored state
+    b1 = spark.createDataFrame(
+        [(11, GOOD_A, "web"), (12, GOOD_A, "web")],
+        "doc_id long, text string, source string")
+    commit(b1, 1)
+    row = (spark.read.parquet(lake.path(C.CURATION_METRICS))
+           .filter(F.col("ingest_batch") == 1).first())
+    assert row["after_batch_dedup"] == 1       # 12 dropped in-batch
+    assert row["index_band_hits"] == 1         # only survivor 11 counted
+    assert row["after_index_dedup"] == 0       # 11 dropped vs the index
