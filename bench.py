@@ -147,6 +147,7 @@ def main() -> None:
         semantic_dedup_groups, semantic_dedup_groups_two_level)
     from ocr_documents_spark.operators.substring_dedup import \
         remove_duplicate_spans
+    from ocr_documents_spark.operators.zorder import cluster_by_zorder
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
     bench_docs = tbl("documents").select("doc_id", "text")
@@ -171,6 +172,9 @@ def main() -> None:
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
         "line_dedup": lambda: remove_common_lines(bench_docs),
+        "zorder_layout": lambda: cluster_by_zorder(
+            tbl("events").select("event_id", "user_id"),
+            ["event_id", "user_id"], n_files=32),
         "perplexity_tiers": lambda: (lambda scored: quality_tiers(
             scored, tier_thresholds(scored)))(perplexity_scores(
                 bench_docs, train_lm_counts(bench_docs, sample_mod=4))),
