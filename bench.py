@@ -148,6 +148,7 @@ def main() -> None:
     from ocr_documents_spark.operators.substring_dedup import \
         remove_duplicate_spans
     from ocr_documents_spark.operators.zorder import cluster_by_zorder
+    from ocr_documents_spark.operators.heavy_hitters import heavy_hitters
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
     bench_docs = tbl("documents").select("doc_id", "text")
@@ -172,6 +173,8 @@ def main() -> None:
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
         "line_dedup": lambda: remove_common_lines(bench_docs),
+        "heavy_hitters": lambda: heavy_hitters(
+            tbl("events").select("user_id"), "user_id", k=256),
         "zorder_layout": lambda: cluster_by_zorder(
             tbl("events").select("event_id", "user_id"),
             ["event_id", "user_id"], n_files=32),
