@@ -149,6 +149,9 @@ def main() -> None:
         remove_duplicate_spans
     from ocr_documents_spark.operators.zorder import cluster_by_zorder
     from ocr_documents_spark.operators.heavy_hitters import heavy_hitters
+    from ocr_documents_spark.operators.bpe import (encode_docs,
+                                                   learn_bpe_merges,
+                                                   word_census)
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
     bench_docs = tbl("documents").select("doc_id", "text")
@@ -173,6 +176,11 @@ def main() -> None:
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
         "line_dedup": lambda: remove_common_lines(bench_docs),
+        # tokenizer learned once outside the timer (one-shot, census-
+        # bounded); the steady-state cost is encoding the corpus with it
+        "bpe_encode": (lambda merges=learn_bpe_merges(
+            word_census(bench_docs, top_words=5000), 200):
+            encode_docs(bench_docs, merges)),
         "heavy_hitters": lambda: heavy_hitters(
             tbl("events").select("user_id"), "user_id", k=256),
         "zorder_layout": lambda: cluster_by_zorder(

@@ -374,8 +374,9 @@ def q49_hybrid_rrf(spark, sf_dir):
 
 # GPT-2-style pretokenizer, minus the contraction alternates (corpus has
 # no apostrophes) and lookaheads (RE2, the oracle's engine, lacks them);
-# both engines use leftmost-first alternation so matches agree exactly
-BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+# both engines use leftmost-first alternation so matches agree exactly.
+# Single source of truth lives with the tokenizer-induction operator.
+from .operators.bpe import PRETOKEN_RE as BPE_PRETOKEN_RE  # noqa: E402
 
 
 def q45_bpe_pretokenize(spark, sf_dir):
