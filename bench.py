@@ -149,6 +149,7 @@ def main() -> None:
         remove_duplicate_spans
     from ocr_documents_spark.operators.zorder import cluster_by_zorder
     from ocr_documents_spark.operators.heavy_hitters import heavy_hitters
+    from ocr_documents_spark.operators.normalize import normalize_docs
     from ocr_documents_spark.operators.bpe import (encode_docs,
                                                    learn_bpe_merges,
                                                    word_census)
@@ -181,6 +182,7 @@ def main() -> None:
         "bpe_encode": (lambda merges=learn_bpe_merges(
             word_census(bench_docs, top_words=5000), 200):
             encode_docs(bench_docs, merges)),
+        "normalize_nfc": lambda: normalize_docs(bench_docs),
         "heavy_hitters": lambda: heavy_hitters(
             tbl("events").select("user_id"), "user_id", k=256),
         "zorder_layout": lambda: cluster_by_zorder(

@@ -8,6 +8,10 @@ pipeline, composed from the operator modules this engine ships.
 Stage order (each stage's input is the previous stage's survivors, and
 each emits one row in the funnel metrics):
 
+0. **normalize** (optional, ``normalize=True``) — control-char scrub +
+   NFC pinning (operators/normalize): encoding hygiene BEFORE anything
+   hashes text, so byte-variant duplicates of the same visible string
+   cannot dodge exact/near dedup or decontamination;
 1. **scrub** — PII masking (operators/pii): per-row regexp chain, the
    text every later stage sees is already masked;
 1b. **line_dedup** (optional, ``strip_boilerplate=True``) — corpus-wide
@@ -60,6 +64,7 @@ from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
                                                     quality_tiers,
                                                     tier_thresholds,
                                                     train_lm_counts)
+from ocr_documents_spark.operators.normalize import normalize_docs
 from ocr_documents_spark.operators.pii import scrub_corpus
 from ocr_documents_spark.operators.semdedup import \
     semantic_dedup_groups_two_level
@@ -73,6 +78,7 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  emb: DataFrame | None = None,
                  seq_len: int = 2048,
                  dedup_threshold: float = 0.7,
+                 normalize: bool = False,
                  strip_boilerplate: bool = False,
                  drop_lm_tail: bool = False,
                  lm_sample_mod: int = 4,
@@ -81,6 +87,11 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
     and ``manifest`` (the packed-sequence table) under it."""
     metrics: dict[str, int] = {"input": docs.count()}
+
+    # 0. optional encoding hygiene: control-char scrub + NFC pinning,
+    # BEFORE any stage hashes text (dedup/decontamination correctness)
+    if normalize:
+        docs = normalize_docs(docs)
 
     # 1. scrub — downstream stages consume the masked text
     cur = (scrub_corpus(docs, "text", "clean_text")
@@ -184,6 +195,8 @@ def main(argv=None) -> int:
                    help="CCNet-style LM-perplexity tail-quantile drop")
     p.add_argument("--strip-boilerplate", action="store_true",
                    help="corpus-wide repeated-line removal before quality")
+    p.add_argument("--normalize", action="store_true",
+                   help="control-char scrub + NFC pinning before scrub")
     args = p.parse_args(argv)
 
     from ocr_documents_spark.session import get_spark
@@ -194,6 +207,7 @@ def main(argv=None) -> int:
     emb = spark.read.parquet(args.emb) if args.emb else None
     metrics = run_curation(spark, docs, bench, weights, emb=emb,
                            seq_len=args.seq_len,
+                           normalize=args.normalize,
                            strip_boilerplate=args.strip_boilerplate,
                            drop_lm_tail=args.drop_lm_tail,
                            out_dir=args.out)

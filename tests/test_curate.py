@@ -181,3 +181,24 @@ def test_semantic_dedup_stage_drops_embedding_twin(spark, corpus, bench):
     # everything else, including embedding-less doc 4, flows through
     assert m["train_sequences"] <= m_plain["train_sequences"]
     assert m["after_decontaminate"] == m_plain["after_decontaminate"] - 1
+
+
+def test_normalize_stage_restores_dedup(spark):
+    """Byte-variant duplicates (NFC vs NFD of the same visible text)
+    dodge MinHash dedup — every accented shingle hashes differently.
+    The optional normalize stage pins encoding first, turning the pair
+    into an exact duplicate that dedup collapses."""
+    import unicodedata
+    acc = "\n".join(l.replace("e", "é") for l in LINES)
+    nfc_doc = unicodedata.normalize("NFC", acc)
+    nfd_doc = unicodedata.normalize("NFD", acc)
+    assert nfc_doc != nfd_doc and len(nfd_doc) > len(nfc_doc)
+    docs = spark.createDataFrame(
+        [(0, nfc_doc, "web"), (1, nfd_doc, "web"),
+         (2, "\n".join(LINES_B), "web")],
+        "doc_id long, text string, source string")
+    base = run_curation(spark, docs)
+    norm = run_curation(spark, docs, normalize=True)
+    assert base["after_quality"] == norm["after_quality"] == 3
+    assert base["after_dedup"] == 3     # variants dodge dedup
+    assert norm["after_dedup"] == 2     # NFC unifies, one canonical
