@@ -18,6 +18,10 @@ each emits one row in the funnel metrics):
    repeated-line removal (operators/line_dedup): boilerplate lines
    occurring in many documents are stripped before quality scoring
    sees them;
+1c. **blocklist** (optional, ``blocklist_phrases=[...]``) — the C4
+   bad-words rule (operators/blocklist): any document containing a
+   blocklisted phrase (boundary-exact, punctuation/case-insensitive)
+   is dropped before quality scoring;
 2. **quality** — Gopher/C4 rule report (operators/quality_filters),
    keep only docs passing every rule;
 2b. **lm_tail** (optional, ``drop_lm_tail=True``) — CCNet-style
@@ -55,6 +59,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_documents_spark.operators.blocklist import drop_blocklisted
 from ocr_documents_spark.operators.decontaminate import decontaminate
 from ocr_documents_spark.operators.dedup import dedup_groups
 from ocr_documents_spark.operators.line_dedup import remove_common_lines
@@ -79,6 +84,7 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  seq_len: int = 2048,
                  dedup_threshold: float = 0.7,
                  normalize: bool = False,
+                 blocklist_phrases: list[str] | None = None,
                  strip_boilerplate: bool = False,
                  drop_lm_tail: bool = False,
                  lm_sample_mod: int = 4,
@@ -111,6 +117,11 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                .join(stripped.select("doc_id",
                                      F.col("clean_text").alias("text")),
                      "doc_id"))
+
+    # 1c. optional C4 bad-words rule: one codegen rlike, before quality
+    if blocklist_phrases:
+        cur = drop_blocklisted(cur, blocklist_phrases)
+        metrics["after_blocklist"] = cur.count()
 
     # 2. quality keep/drop
     keep_ids = (quality_filter_report(cur)
@@ -197,6 +208,8 @@ def main(argv=None) -> int:
                    help="corpus-wide repeated-line removal before quality")
     p.add_argument("--normalize", action="store_true",
                    help="control-char scrub + NFC pinning before scrub")
+    p.add_argument("--blocklist", default=None,
+                   help="text file of blocklist phrases, one per line")
     args = p.parse_args(argv)
 
     from ocr_documents_spark.session import get_spark
@@ -208,6 +221,9 @@ def main(argv=None) -> int:
     metrics = run_curation(spark, docs, bench, weights, emb=emb,
                            seq_len=args.seq_len,
                            normalize=args.normalize,
+                           blocklist_phrases=(
+                               [ln.strip() for ln in open(args.blocklist)
+                                if ln.strip()] if args.blocklist else None),
                            strip_boilerplate=args.strip_boilerplate,
                            drop_lm_tail=args.drop_lm_tail,
                            out_dir=args.out)

@@ -34,8 +34,10 @@ approximate domain is bracket-tested against the exact census instead
 hash-match another engine, so the GUARANTEE is what gets tested).
 
 NULL keys never enter the sketch (the NULL census is one exact
-``count_if`` if needed); the NULL slot in the summary schema carries the
-partition deficit instead.
+``count_if`` if needed); the NULL slot in the summary schema is the
+partition TALLY row instead, carrying the partition's exact non-NULL row
+count and its deficit — so total N, global deficit D, and every estimate
+come out of ONE corpus pass.
 
 Reference context: the reference app has no skew surface at all (every
 document is one upload, ``backend/main_v1.py:43-120``); this is part of
@@ -67,7 +69,10 @@ def _summary_schema(df: DataFrame, key_col: str) -> T.StructType:
 def mg_partition_summaries(df: DataFrame, key_col: str,
                            k: int = DEFAULT_K) -> DataFrame:
     """Per-partition MG summaries: ≤ k counter rows (key, est, 0) plus
-    exactly one deficit row (NULL, 0, deficit) per non-empty partition.
+    exactly one tally row (NULL, n_partition_nonnull, deficit) per
+    non-empty partition — the tally row's ``est`` carries the
+    partition's exact non-NULL row count, so consumers get the global
+    total from the sketch itself instead of a second corpus scan.
 
     This is the ONLY corpus-scale stage; everything downstream operates
     on ≤ (k + 1) × n_partitions rows.
@@ -79,12 +84,14 @@ def mg_partition_summaries(df: DataFrame, key_col: str,
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters = pd.Series(dtype="int64")
         deficit = 0
+        total = 0
         seen = False
         for batch in batches:
             seen = True
             vc = batch[key_col].value_counts()  # exact, C-speed, drops NULLs
             if vc.empty:
                 continue
+            total += int(vc.sum())
             counters = (vc if counters.empty
                         else counters.add(vc, fill_value=0).astype("int64"))
             if len(counters) > k:
@@ -100,12 +107,38 @@ def mg_partition_summaries(df: DataFrame, key_col: str,
                             "est": counters.to_numpy(dtype="int64"),
                             "deficit": 0})
         out = pd.concat(
-            [out, pd.DataFrame({key_col: [None], "est": [0],
+            [out, pd.DataFrame({key_col: [None], "est": [total],
                                 "deficit": [deficit]})],
             ignore_index=True)
         yield out
 
     return df.select(key_col).mapInPandas(summarize, schema)
+
+
+def _merged_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Merge partition summaries into (key, est_count, ub_count,
+    __total_n) in ONE lineage (a single corpus scan).
+
+    The global deficit D and total N come from an orderBy-less window
+    over the ALREADY-MERGED table — bounded by ≤ (k+1) × n_partitions
+    rows by construction, so moving it through one partition is
+    control-plane work, not a corpus-scale sort (the rank.py rule
+    targets unbounded data; this table carries its bound in its type).
+    """
+    from pyspark.sql import Window
+    summaries = mg_partition_summaries(df, key_col, k)
+    merged = (summaries.groupBy(key_col)
+              .agg(F.sum("est").alias("est_count"),
+                   F.sum("deficit").alias("__part_d")))
+    w = Window.partitionBy()
+    null_key = F.col(key_col).isNull()
+    return (merged
+            .withColumn("__total_d", F.sum("__part_d").over(w))
+            .withColumn("__total_n", F.sum(
+                F.when(null_key, F.col("est_count"))).over(w))
+            .filter(~null_key)
+            .withColumn("ub_count", F.col("est_count") + F.col("__total_d"))
+            .drop("__part_d", "__total_d"))
 
 
 def heavy_hitters(df: DataFrame, key_col: str,
@@ -118,15 +151,7 @@ def heavy_hitters(df: DataFrame, key_col: str,
     present.  Output is ≤ k × n_partitions rows — collectable for any
     sane k, like ``hot_keys``'s 1/threshold bound.
     """
-    summaries = mg_partition_summaries(df, key_col, k)
-    merged = (summaries.groupBy(key_col)
-              .agg(F.sum("est").alias("est_count"),
-                   F.sum("deficit").alias("__part_d")))
-    total_d = merged.agg(F.sum("__part_d").alias("__total_d"))
-    return (merged.filter(F.col(key_col).isNotNull())
-            .crossJoin(F.broadcast(total_d))
-            .withColumn("ub_count", F.col("est_count") + F.col("__total_d"))
-            .drop("__part_d", "__total_d"))
+    return _merged_summaries(df, key_col, k).drop("__total_n")
 
 
 def approx_hot_keys(df: DataFrame, key_col: str,
@@ -141,20 +166,21 @@ def approx_hot_keys(df: DataFrame, key_col: str,
     cannot fall below ``(1 - 1/safety)`` of the threshold, and every
     reported key's true share is at least ``threshold - threshold/safety``
     (no wild false positives).  Returns (key, est_count, ub_count,
-    frac_lo, frac_hi) with the certain share bracket.
+    frac_lo, frac_hi) with the certain share bracket.  The total comes
+    from the sketch's own tally rows — the whole readout is ONE pass
+    over the corpus.
     """
     if not 0 < threshold_frac < 1:
         raise ValueError(f"threshold_frac in (0,1), got {threshold_frac}")
     k = int(math.ceil(safety / threshold_frac))
-    hh = heavy_hitters(df, key_col, k)
-    total = df.agg(F.count(key_col).alias("__total"))  # non-NULL, like the sketch
-    return (hh.crossJoin(F.broadcast(total))
-            .filter(F.col("ub_count") / F.col("__total") > threshold_frac)
+    hh = _merged_summaries(df, key_col, k)
+    return (hh.filter(F.col("ub_count") / F.col("__total_n")
+                      > threshold_frac)
             .withColumn("frac_lo",
-                        F.round(F.col("est_count") / F.col("__total"), 6))
+                        F.round(F.col("est_count") / F.col("__total_n"), 6))
             .withColumn("frac_hi",
-                        F.round(F.col("ub_count") / F.col("__total"), 6))
-            .drop("__total"))
+                        F.round(F.col("ub_count") / F.col("__total_n"), 6))
+            .drop("__total_n"))
 
 
 def duckdb_exact_census_sql(table: str, key_col: str) -> str:

@@ -202,3 +202,20 @@ def test_normalize_stage_restores_dedup(spark):
     assert base["after_quality"] == norm["after_quality"] == 3
     assert base["after_dedup"] == 3     # variants dodge dedup
     assert norm["after_dedup"] == 2     # NFC unifies, one canonical
+
+
+def test_blocklist_stage(spark):
+    """The optional C4 bad-words stage drops exactly the documents
+    containing a blocklisted phrase (boundary-exact), before quality."""
+    docs = spark.createDataFrame(
+        [(0, GOOD, "web"),
+         (1, "\n".join(LINES_B) + "\nforbidden phrase closes this one.",
+          "web"),
+         (2, "\n".join(LINES_C) + "\nunforbidden phrases are fine here.",
+          "web")],
+        "doc_id long, text string, source string")
+    m = run_curation(spark, docs,
+                     blocklist_phrases=["Forbidden-Phrase"])
+    assert m["input"] == 3
+    assert m["after_blocklist"] == 2     # doc 1 gone; doc 2's superstring safe
+    assert m["after_quality"] == 2

@@ -111,10 +111,18 @@ def test_summary_stage_shape(spark):
     # and its output is bounded by (k+1) rows per partition
     n_parts = df.rdd.getNumPartitions()
     assert summaries.count() <= (8 + 1) * max(n_parts, 1)
-    # deficit rows: key NULL, one per non-empty partition
+    # tally rows: key NULL, one per non-empty partition, est = the
+    # partition's exact non-NULL row count (sums to the corpus total)
     drows = summaries.filter(F.col("user_id").isNull()).collect()
-    assert all(r["est"] == 0 for r in drows)
     assert len(drows) <= max(n_parts, 1)
+    assert sum(r["est"] for r in drows) == df.filter(
+        F.col("user_id").isNotNull()).count()
+    # the full readout (incl. totals) is ONE corpus pass: exactly one
+    # python sketch stage in the whole heavy_hitters plan
+    hh_plan = (HH.heavy_hitters(df, "user_id", k=8)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert hh_plan.count("FlatMapGroupsInPandas") == 0
+    assert hh_plan.lower().count("mapinpandas") == 1
 
 
 def test_k_validation(spark, skewed):
