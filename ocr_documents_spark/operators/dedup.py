@@ -237,6 +237,32 @@ def band_index(sig: DataFrame, bands: int = BANDS) -> DataFrame:
         .alias("band_idx", "band"))
 
 
+def apply_diff_to_band_index(index: DataFrame, diff: DataFrame,
+                             new_docs: DataFrame,
+                             n_hashes: int = N_HASHES, bands: int = BANDS,
+                             shingle_n: int = SHINGLE_N) -> DataFrame:
+    """Maintain the persisted LSH index under a corpus snapshot diff
+    (operators/snapshot_diff output): removed + changed ids vacate
+    their band rows via an anti-join, added + changed docs are hashed
+    FRESH — so the expensive shingle/minhash work costs O(diff), never
+    O(corpus), and (tested) the result equals ``band_index`` rebuilt
+    from scratch on the new snapshot, row for row.
+
+    ``new_docs`` only needs to cover the added + changed ids (a left-
+    semi join selects exactly those); passing the full new snapshot is
+    equivalent and never hashes the unchanged part.
+    """
+    stale = (diff.filter(F.col("status").isin("removed", "changed"))
+             .select("doc_id"))
+    todo = (diff.filter(F.col("status").isin("added", "changed"))
+            .select("doc_id"))
+    kept = index.join(stale, "doc_id", "left_anti")
+    fresh = band_index(
+        minhash_signatures(new_docs.join(todo, "doc_id", "left_semi"),
+                           n_hashes, bands, shingle_n), bands)
+    return kept.unionByName(fresh)
+
+
 def incremental_candidates(new_docs: DataFrame | None, index: DataFrame,
                            n_hashes: int = N_HASHES, bands: int = BANDS,
                            shingle_n: int = SHINGLE_N,

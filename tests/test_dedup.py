@@ -234,3 +234,41 @@ def test_incremental_candidates_against_stored_index(spark, corpus, tmp_path):
     assert not any(n == 101 for n, _ in hits)
     # the probe side never contains corpus doc ids as "new"
     assert all(n >= 100 for n, _ in hits)
+
+
+def test_apply_diff_to_band_index_equals_rebuild(spark):
+    """Diff-driven index maintenance: removing/changing/adding docs and
+    applying the diff to the stored band index must equal rebuilding the
+    index from scratch on the new snapshot — and only the diff docs need
+    to be supplied (the unchanged corpus is never re-hashed)."""
+    from ocr_documents_spark.operators.snapshot_diff import snapshot_diff
+
+    old = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .select("doc_id", "text"))
+    new = (old.filter(F.col("doc_id") % 11 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat("text", F.lit(" revised edition")))
+                       .otherwise(F.col("text"))))
+    fresh_rows = spark.createDataFrame(
+        [(5000 + i, f"an entirely new document number {i} with plain "
+          f"words repeated enough to shingle cleanly {i}")
+         for i in range(3)], "doc_id long, text string")
+    new = new.unionByName(fresh_rows)
+
+    index = D.band_index(D.minhash_signatures(old))
+    diff = snapshot_diff(old, new)
+    applied = D.apply_diff_to_band_index(index, diff, new)
+    rebuilt = D.band_index(D.minhash_signatures(new))
+    key = lambda r: (r["doc_id"], r["band_idx"], r["band"])  # noqa: E731
+    assert sorted(map(key, applied.collect())) \
+        == sorted(map(key, rebuilt.collect()))
+
+    # supplying ONLY the diff docs gives the same answer: the unchanged
+    # corpus is provably not an input to the re-hash
+    todo_only = new.join(
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select("doc_id"), "doc_id", "left_semi")
+    applied2 = D.apply_diff_to_band_index(index, diff, todo_only)
+    assert sorted(map(key, applied2.collect())) \
+        == sorted(map(key, rebuilt.collect()))
