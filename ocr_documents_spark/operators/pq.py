@@ -347,6 +347,47 @@ def build_ivfpq_index(emb: DataFrame, candidate_filter=None,
     return IvfPqIndex(coarse, cb, codes, cands, dim, m)
 
 
+def embedding_payload(emb: DataFrame) -> DataFrame:
+    """(vec_id, payload) for ``snapshot_diff(id_col='vec_id',
+    text_col='payload')`` — the array's string rendering is a
+    deterministic content fingerprint input."""
+    return emb.select("vec_id",
+                      F.col("embedding").cast("string").alias("payload"))
+
+
+def update_ivfpq_index(index: IvfPqIndex, diff: DataFrame,
+                       new_emb: DataFrame) -> IvfPqIndex:
+    """Maintain a built index under a corpus snapshot diff
+    (operators/snapshot_diff with ``id_col='vec_id'``): removed +
+    changed ids vacate their code and raw-vector rows; added + changed
+    embeddings are assigned and encoded with the EXISTING quantizers —
+    so update cost is O(diff), never O(corpus), and (tested) the codes
+    equal a full re-encode of the new corpus under the same codebooks.
+
+    Codebooks are deliberately NOT retrained here: that is the standard
+    IVF-PQ deployment split (encode daily, retrain on drift) — when the
+    corpus distribution moves, rebuild with ``build_ivfpq_index`` and
+    atomically swap the saved index.
+    """
+    from .ivf import _nearest_cell
+    stale = (diff.filter(F.col("status").isin("removed", "changed"))
+             .select("vec_id"))
+    todo = (diff.filter(F.col("status").isin("added", "changed"))
+            .select("vec_id"))
+    fresh = _as_double(new_emb.join(todo, "vec_id", "left_semi"))
+    fresh_cells = _nearest_cell(fresh, index.coarse).select("vec_id", "cell")
+    fresh_codes = (encode_pq(fresh, index.codebooks, index.m,
+                             dim=index.dim)
+                   .join(fresh_cells, "vec_id")
+                   .select("vec_id", "cell", "sub", "code"))
+    codes = (index.codes.join(stale, "vec_id", "left_anti")
+             .unionByName(fresh_codes))
+    vectors = (index.vectors.join(stale, "vec_id", "left_anti")
+               .unionByName(fresh.select(*index.vectors.columns)))
+    return IvfPqIndex(index.coarse, index.codebooks, codes, vectors,
+                      index.dim, index.m)
+
+
 def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:
     """Persist the index tables; ``codes`` is partitioned by the coarse
     cell so a probe scans only nprobe/k_cells of the 4-byte-per-vector

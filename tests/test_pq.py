@@ -150,6 +150,77 @@ def test_ivfpq_composition(spark, emb):
     assert found >= NEARDUP_N - 2, top1
 
 
+def test_update_ivfpq_index_equals_reencode(spark, emb):
+    """Diff-driven index maintenance: applying a corpus snapshot diff to
+    a built index must equal re-encoding the NEW candidate set from
+    scratch under the SAME quantizers, and only the diff docs need to be
+    supplied — the unchanged corpus is provably not re-hashed.  The
+    perturbation keeps the array element type float so unchanged rows
+    fingerprint identically on both snapshots."""
+    from ocr_documents_spark.operators.ivf import _as_double, _nearest_cell
+    from ocr_documents_spark.operators.snapshot_diff import snapshot_diff
+
+    cf = F.col("vec_id") >= 5
+    index = PQ.build_ivfpq_index(emb, cf, dim=DIM)
+
+    new = (emb.filter(F.col("vec_id") % 13 != 0)
+           .withColumn("embedding",
+                       F.when(F.col("vec_id") % 7 == 0,
+                              F.transform(
+                                  "embedding",
+                                  lambda v: (v * 1.5).cast("float")))
+                       .otherwise(F.col("embedding"))))
+    fresh_rows = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    new = new.unionByName(fresh_rows)
+
+    old_c, new_c = emb.filter(cf), new.filter(cf)
+    diff = snapshot_diff(PQ.embedding_payload(old_c),
+                         PQ.embedding_payload(new_c),
+                         id_col="vec_id", text_col="payload")
+    by_status = {r["status"]: r["n"] for r in
+                 diff.groupBy("status").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert by_status.get("added", 0) == 3
+    assert by_status.get("removed", 0) > 0
+    assert by_status.get("changed", 0) > 0
+    assert by_status.get("unchanged", 0) > 0   # the O(diff) claim is real
+
+    updated = PQ.update_ivfpq_index(index, diff, new_c)
+
+    # ground truth: full re-encode of the new candidates, same quantizers
+    cells = (_nearest_cell(_as_double(new_c), index.coarse)
+             .select("vec_id", "cell"))
+    want = sorted(
+        tuple(r) for r in
+        PQ.encode_pq(new_c, index.codebooks, index.m, dim=DIM)
+        .join(cells, "vec_id").select("vec_id", "cell", "sub", "code")
+        .collect())
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in
+        df.select("vec_id", "cell", "sub", "code").collect())
+    assert key(updated.codes) == want
+    assert sorted(r["vec_id"] for r in
+                  updated.vectors.select("vec_id").collect()) \
+        == sorted(r["vec_id"] for r in new_c.select("vec_id").collect())
+
+    # supplying ONLY the diff docs gives the same index
+    todo_only = new_c.join(
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select("vec_id"), "vec_id", "left_semi")
+    assert key(PQ.update_ivfpq_index(index, diff, todo_only).codes) == want
+
+    # the maintained index answers queries (k ranked rows per query)
+    got = PQ.ivfpq_query(updated, emb.filter(F.col("vec_id") < 5),
+                         shortlist=10).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+
+
 def test_index_build_query_split_and_persistence(spark, emb, tmp_path):
     """The production deployment: build_ivfpq_index once, query many
     times — results must equal the one-shot ivfpq_topk exactly; a
