@@ -153,6 +153,11 @@ def main() -> None:
     from ocr_documents_spark.operators.bpe import (encode_docs,
                                                    learn_bpe_merges,
                                                    word_census)
+    from ocr_documents_spark.operators.bloom import (bloom_build,
+                                                     bloom_words_to_bitmap,
+                                                     with_bloom_maybe)
+    from ocr_documents_spark.operators.dedup import fingerprint15
+    from ocr_documents_spark.operators.urls import cap_per_host
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
     bench_docs = tbl("documents").select("doc_id", "text")
@@ -191,6 +196,25 @@ def main() -> None:
         "perplexity_tiers": lambda: (lambda scored: quality_tiers(
             scored, tier_thresholds(scored)))(perplexity_scores(
                 bench_docs, train_lm_counts(bench_docs, sample_mod=4))),
+        # membership pre-filter: the history filter BUILD is the
+        # corpus-scale one-time cost; the steady-state PROBE runs with
+        # the bitmap already collected (like ivfpq_query vs ivfpq_topk)
+        "bloom_build": lambda: bloom_build(
+            bench_docs.select(fingerprint15(F.col("text")).alias("key")),
+            "key"),
+        "bloom_probe": (lambda bitmap=bloom_words_to_bitmap(bloom_build(
+            bench_docs.select(fingerprint15(F.col("text")).alias("key")),
+            "key")): with_bloom_maybe(
+                bench_docs.select(
+                    "doc_id", fingerprint15(F.col("text")).alias("key")),
+                bitmap, "key")),
+        "url_host_cap": lambda: cap_per_host(
+            tbl("documents").select(
+                "doc_id",
+                F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example.com/doc/"), F.col("doc_id"),
+                         F.lit("?v=1&utm_source=bench")).alias("url")),
+            cap=100),
         "dsir_select": lambda: dsir_select(
             bench_docs,
             train_lm_counts(tbl("documents")
