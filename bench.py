@@ -157,6 +157,9 @@ def main() -> None:
                                                      bloom_words_to_bitmap,
                                                      with_bloom_maybe)
     from ocr_documents_spark.operators.dedup import fingerprint15
+    from ocr_documents_spark.operators.linear_classifier import (
+        score_docs, train_linear_classifier)
+    from ocr_documents_spark.operators.mixing import token_budget_sample
     from ocr_documents_spark.operators.urls import cap_per_host
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
@@ -208,6 +211,19 @@ def main() -> None:
                 bench_docs.select(
                     "doc_id", fingerprint15(F.col("text")).alias("key")),
                 bitmap, "key")),
+        # trained-filter deployment split: TRAIN on a labeled seed
+        # (one-time), SCORE the corpus (steady state, relational path)
+        "classifier_train": lambda: train_linear_classifier(
+            bench_docs.withColumn(
+                "label", (F.col("doc_id") % 2).cast("int")), iters=4),
+        "classifier_score": (lambda w=train_linear_classifier(
+            bench_docs.withColumn(
+                "label", (F.col("doc_id") % 2).cast("int")),
+            iters=4).localCheckpoint():
+            score_docs(bench_docs, w)),
+        "token_budget_mix": lambda: token_budget_sample(
+            tbl("documents").select("doc_id", "text", "source"),
+            {f"src{i}": 2000 * (i + 1) for i in range(20)}),
         "url_host_cap": lambda: cap_per_host(
             tbl("documents").select(
                 "doc_id",

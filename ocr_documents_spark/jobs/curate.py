@@ -27,6 +27,11 @@ each emits one row in the funnel metrics):
 2b. **lm_tail** (optional, ``drop_lm_tail=True``) — CCNet-style
    perplexity bucketing (operators/ngram_lm): score survivors under a
    corpus-sample n-gram LM and drop the tail quantile;
+2c. **model_quality** (optional, ``quality_model=weights``) — the
+   in-engine trained linear classifier (operators/linear_classifier,
+   fastText-style wiki-vs-crawl filter): survivors below the score
+   threshold are dropped.  The weights table is trained once (its own
+   job or a prior batch) and reused across runs;
 3. **dedup** — MinHash/LSH near-dup groups (operators/dedup), keep
    canonical docs only;
 3b. **semdedup** (optional, pass ``emb``) — semantic near-dup removal
@@ -35,8 +40,10 @@ each emits one row in the funnel metrics):
    are dropped; documents without an embedding row are untouched;
 4. **decontaminate** — drop docs sharing any k-gram with the eval set
    (operators/decontaminate; skipped when no eval set is given);
-5. **mix** — deterministic per-domain weighted sampling
-   (operators/mixing; skipped when no weights are given);
+5. **mix** — deterministic per-domain sampling (operators/mixing):
+   Bernoulli keep-rates (``weights=``) or exact per-domain TOKEN
+   budgets (``token_budgets=`` — the "300B web, 30B code" recipe
+   form); skipped when neither is given;
 6. **pack** — the fixed-length training-sequence manifest
    (operators/packing).
 
@@ -63,7 +70,9 @@ from ocr_documents_spark.operators.blocklist import drop_blocklisted
 from ocr_documents_spark.operators.decontaminate import decontaminate
 from ocr_documents_spark.operators.dedup import dedup_groups
 from ocr_documents_spark.operators.line_dedup import remove_common_lines
-from ocr_documents_spark.operators.mixing import domain_weighted_sample
+from ocr_documents_spark.operators.linear_classifier import quality_filter
+from ocr_documents_spark.operators.mixing import (domain_weighted_sample,
+                                                  token_budget_sample)
 from ocr_documents_spark.operators.packing import pack_sequences
 from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
                                                     quality_tiers,
@@ -88,6 +97,9 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  strip_boilerplate: bool = False,
                  drop_lm_tail: bool = False,
                  lm_sample_mod: int = 4,
+                 quality_model: DataFrame | None = None,
+                 quality_threshold: int = 500_000,
+                 token_budgets: dict[str, int] | None = None,
                  out_dir: str | None = None) -> dict:
     """docs(doc_id, text[, source]) -> funnel metrics dict; when
     ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
@@ -140,6 +152,15 @@ def run_curation(spark: SparkSession, docs: DataFrame,
         cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
         metrics["after_lm_tail"] = cur.count()
 
+    # 2c. optional trained-model quality filter (linear classifier
+    # weights trained in-engine, scored relationally here so the run
+    # stays UDF-free; the score column is stage-internal)
+    if quality_model is not None:
+        cur = (quality_filter(cur, quality_model,
+                              threshold_micro=quality_threshold)
+               .drop("quality_p").localCheckpoint())
+        metrics["after_model_quality"] = cur.count()
+
     # 3. near-dup dedup: canonical survivors only
     canon = (dedup_groups(cur.select("doc_id", "text"),
                           threshold=dedup_threshold)
@@ -169,9 +190,12 @@ def run_curation(spark: SparkSession, docs: DataFrame,
         cur = decontaminate(cur, bench).localCheckpoint()
         metrics["after_decontaminate"] = cur.count()
 
-    # 5. domain mixing
+    # 5. domain mixing — Bernoulli rates or exact token budgets
     if weights is not None:
         cur = domain_weighted_sample(cur, weights).localCheckpoint()
+        metrics["after_mixing"] = cur.count()
+    elif token_budgets is not None:
+        cur = token_budget_sample(cur, token_budgets).localCheckpoint()
         metrics["after_mixing"] = cur.count()
 
     # 6. pack
@@ -201,6 +225,13 @@ def main(argv=None) -> int:
                         "dedup (vec_id == doc_id)")
     p.add_argument("--weights", default=None,
                    help='JSON {"domain": rate, ...} for the mixing stage')
+    p.add_argument("--token-budgets", default=None,
+                   help='JSON {"domain": n_tokens, ...} — exact '
+                        'token-budget mixing instead of rates')
+    p.add_argument("--quality-model", default=None,
+                   help="parquet of (bucket, w) linear-classifier "
+                        "weights for the model-quality stage")
+    p.add_argument("--quality-threshold", type=int, default=500_000)
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--drop-lm-tail", action="store_true",
                    help="CCNet-style LM-perplexity tail-quantile drop")
@@ -226,6 +257,14 @@ def main(argv=None) -> int:
                                 if ln.strip()] if args.blocklist else None),
                            strip_boilerplate=args.strip_boilerplate,
                            drop_lm_tail=args.drop_lm_tail,
+                           quality_model=(
+                               spark.read.parquet(args.quality_model)
+                               if args.quality_model else None),
+                           quality_threshold=args.quality_threshold,
+                           token_budgets=(
+                               {k: int(v) for k, v in
+                                json.loads(args.token_budgets).items()}
+                               if args.token_budgets else None),
                            out_dir=args.out)
     print(json.dumps(metrics))
     spark.stop()

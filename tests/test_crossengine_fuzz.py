@@ -71,3 +71,114 @@ def test_perplexity_parity_on_random_corpora(spark, seed):
     want = {r[0]: (r[1], r[2]) for r in con.execute(
         LM.duckdb_perplexity_sql(sample_mod=2)).fetchall()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 301])
+def test_bloom_parity_on_random_keys(spark, seed):
+    """Random unicode-ish keys, random (m, k): word table and verdicts
+    bit-identical across engines."""
+    from ocr_documents_spark.operators import bloom as B
+    rng = random.Random(seed)
+    m = 32 * rng.randrange(8, 200)
+    k = rng.randrange(1, 11)
+    keys = list({f"{rng.choice(WORDS)}:{rng.randrange(10**6)}"
+                 for _ in range(300)})
+    probe = keys[:100] + [f"fresh-{i}-{seed}" for i in range(100)]
+    kdf = spark.createDataFrame([(x,) for x in keys], "key string")
+    pdf = spark.createDataFrame([(x,) for x in probe], "key string")
+    words = B.bloom_build(kdf, "key", m, k)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE keys (key VARCHAR)")
+    con.executemany("INSERT INTO keys VALUES (?)", [(x,) for x in keys])
+    con.execute("CREATE TABLE probe (key VARCHAR)")
+    con.executemany("INSERT INTO probe VALUES (?)", [(x,) for x in probe])
+    assert sorted(map(tuple, words.collect())) \
+        == sorted(tuple(r) for r in con.execute(
+            B.duckdb_bloom_words_sql("keys", "key", m, k)).fetchall())
+    got = {r["key"]: r["maybe_present"] for r in
+           B.bloom_probe(pdf, words, "key", m, k).collect()}
+    want = dict(con.execute(B.duckdb_bloom_probe_sql(
+        "keys", "probe", "key", m, k)).fetchall())
+    assert got == want
+    assert all(got[x] for x in keys[:100])    # never a false negative
+
+
+@pytest.mark.parametrize("seed", [21, 404])
+def test_url_canonical_parity_on_random_urls(spark, seed):
+    """Random URL soup — mixed-case hosts, random ports, shuffled
+    tracking/content params, fragments, junk rows — canonical parity."""
+    from ocr_documents_spark.operators import urls as U
+    rng = random.Random(seed)
+    rows = []
+    for i in range(300):
+        if rng.random() < 0.1:
+            rows.append((i, rng.choice(
+                ["nonsense", "", "//nohost", "http:/", None])))
+            continue
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "ftp"])
+        host = rng.choice(["Example.COM", "www.Site.org", "a.b.co.uk",
+                           "xn--bcher-kva.ch"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/A/b", "/x%20y/"])
+        params = rng.sample(
+            ["a=1", "z=2", "utm_source=t", "utm_x=9", "gclid=g",
+             "ref=r", "q=hello", "empty=", "=bare"],
+            rng.randrange(0, 5))
+        rng.shuffle(params)
+        frag = rng.choice(["", "#top", "#a?b=c"])
+        q = ("?" + "&".join(params)) if params else ""
+        rows.append((i, f"{scheme}://{host}{port}{path}{q}{frag}"))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = sorted((r["doc_id"], r["canonical_url"], r["host"], r["site"])
+                 for r in U.with_canonical_urls(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        f"SELECT doc_id, {U.duckdb_canonical_parts_sql()} FROM urls"
+    ).fetchall())
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [33, 777])
+def test_linear_classifier_parity_on_random_corpora(spark, seed):
+    """Random whitespace-adversarial corpora with random 0/1 labels:
+    the trained weight table must stay bit-identical to the unrolled
+    SQL twin even with NO learnable signal."""
+    from ocr_documents_spark.operators import linear_classifier as LC
+    rng = random.Random(seed)
+    rows = [(d, t, rng.randrange(2)) for d, t in _random_corpus(seed, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w = LC.train_linear_classifier(df, iters=3, d=512)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, "
+                "label INTEGER)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(LC.duckdb_train_sql(
+        "docs", n_train=len(rows), iters=3, d=512)).fetchall())
+    assert sorted(map(tuple, w.collect())) == want
+
+
+@pytest.mark.parametrize("seed", [8, 650])
+def test_token_budget_parity_on_random_corpora(spark, seed):
+    """Random domains + random budgets (including 0, tiny, and
+    over-total): the kept set matches the oracle's per-domain prefix."""
+    from ocr_documents_spark.operators import mixing as MX
+    rng = random.Random(seed)
+    rows = [(d, t, f"dom{rng.randrange(4)}")
+            for d, t in _random_corpus(seed, 80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    budgets = {"dom0": 0, "dom1": rng.randrange(1, 40),
+               "dom2": rng.randrange(40, 200), "dom3": 10**9}
+    got = sorted(r["doc_id"] for r in
+                 MX.token_budget_sample(df, budgets).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(r[0] for r in con.execute(
+        MX.duckdb_token_budget_sql(budgets)).fetchall())
+    assert got == want
+    assert any(s == "dom3" for i, _, s in rows
+               if i in set(got))            # unbounded domain keeps all

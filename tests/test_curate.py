@@ -219,3 +219,50 @@ def test_blocklist_stage(spark):
     assert m["input"] == 3
     assert m["after_blocklist"] == 2     # doc 1 gone; doc 2's superstring safe
     assert m["after_quality"] == 2
+
+
+def test_model_quality_stage(spark):
+    """The optional trained-classifier stage drops exactly the docs the
+    model scores at/below threshold — weights trained in-engine on a
+    wiki-vs-spam seed, applied inside the funnel."""
+    from ocr_documents_spark.operators.linear_classifier import \
+        train_linear_classifier
+
+    wiki_markers = " citation reference encyclopedia"
+    spam_markers = " casino jackpot clickbait"
+    seed = spark.createDataFrame(
+        [(1000 + i,
+          ("\n".join(LINES_B) + wiki_markers) if i % 2
+          else ("\n".join(LINES_C) + spam_markers),
+          i % 2)
+         for i in range(40)],
+        "doc_id long, text string, label int")
+    weights = train_linear_classifier(seed).localCheckpoint()
+
+    docs = spark.createDataFrame(
+        [(0, GOOD + wiki_markers, "web"),
+         (1, "\n".join(LINES_B) + wiki_markers, "web"),
+         (2, "\n".join(LINES_C) + spam_markers, "web")],
+        "doc_id long, text string, source string")
+    m = run_curation(spark, docs, quality_model=weights)
+    assert m["after_quality"] == 3          # heuristics pass everything
+    assert m["after_model_quality"] == 2    # the spam-marked doc is gone
+    assert m["after_dedup"] == 2
+
+
+def test_token_budget_mixing_stage(spark):
+    """token_budgets= replaces rate mixing with an exact per-domain
+    token prefix; the funnel reports the post-mix count."""
+    docs = spark.createDataFrame(
+        [(i, "\n".join(LINES_B if i % 2 else LINES_C)
+          + f"\nunique closing sentence number {i} anchors this doc.",
+          "web") for i in range(6)]
+        + [(10, "\n".join(LINES), "books")],
+        "doc_id long, text string, source string")
+    full = run_curation(spark, docs)
+    assert "after_mixing" not in full
+    n_web_tokens = 60      # < one surviving web doc's token mass
+    m = run_curation(spark, docs,
+                     token_budgets={"web": n_web_tokens, "books": 10**9})
+    assert m["after_mixing"] < m["after_dedup"]
+    assert m["after_mixing"] == 1 + 1      # one-doc web prefix + books

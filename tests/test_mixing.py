@@ -66,3 +66,90 @@ def test_report_rates_and_defaults(docs):
     kept = sum(rep2[d]["n_kept"] for d in doms[2:])
     total = sum(rep2[d]["n_docs"] for d in doms[2:])
     assert total > 0 and 0.4 < kept / total < 0.6
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling
+# ---------------------------------------------------------------------------
+
+def _budgets(docs, frac):
+    """Per-domain budgets at ~frac of each domain's token mass."""
+    from ocr_documents_spark.operators.dedup import ws_words_col
+    import pyspark.sql.functions as F
+    tot = {r["source"]: r["t"] for r in
+           docs.withColumn("__t", F.size(ws_words_col(F.col("text"))))
+           .groupBy("source").agg(F.sum("__t").alias("t")).collect()}
+    return {d: int(t * frac) for d, t in tot.items()}
+
+
+def test_token_budget_matches_duckdb_oracle(docs):
+    budgets = _budgets(docs, 0.3)
+    got = sorted(r["doc_id"] for r in
+                 MX.token_budget_sample(docs, budgets).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    want = sorted(r[0] for r in con.execute(
+        MX.duckdb_token_budget_sql(budgets)).fetchall())
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # unbudgeted domains drop by default; full-budget domains keep all
+    some = sorted(budgets)[0]
+    only = {k: v for k, v in budgets.items() if k != some}
+    dropped = MX.token_budget_sample(docs, only)
+    assert dropped.filter(f"source = '{some}'").count() == 0
+
+
+def test_token_budget_prefix_contract_and_determinism(docs):
+    """kept_tokens lands in [budget - max_doc, budget + max_doc): the
+    crossing doc is kept, nothing after it; and the kept set is a pure
+    function of ids — partitioning cannot change it."""
+    import pyspark.sql.functions as F
+    budgets = _budgets(docs, 0.25)
+    rep = {r["domain"]: r for r in
+           MX.token_budget_report(docs, budgets).collect()}
+    from ocr_documents_spark.operators.dedup import ws_words_col
+    max_doc = docs.select(
+        F.max(F.size(ws_words_col(F.col("text")))).alias("m")
+    ).first()["m"]
+    for d, r in rep.items():
+        assert budgets[d] <= r["kept_tokens"] < budgets[d] + max_doc
+        assert r["kept_tokens"] <= r["total_tokens"]
+
+    a = sorted(r["doc_id"] for r in
+               MX.token_budget_sample(docs, budgets).collect())
+    b = sorted(r["doc_id"] for r in
+               MX.token_budget_sample(docs.repartition(17),
+                                      budgets).collect())
+    assert a == b
+    # salt rotation changes the kept set but not its budget contract
+    c = sorted(r["doc_id"] for r in
+               MX.token_budget_sample(docs, budgets, salt="e2").collect())
+    assert c != a and len(c) > 0
+
+
+def test_token_budget_plan_has_no_whole_domain_window(docs):
+    """The doc-level window must consume ONLY the crossing bucket's
+    rows: the plan's Window node sits above a __st = partial filter,
+    never over the full scan (the census window runs over the tiny
+    (domain, bucket) table)."""
+    budgets = _budgets(docs, 0.3)
+    plan = MX.token_budget_sample(docs, budgets) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    # the doc-level window (ordered by __u) exists exactly once, and a
+    # Filter sits between it and its scan — the window consumes only the
+    # crossing bucket's rows, never the raw relation (Catalyst folds the
+    # __st = 'partial' comparison into the underlying bucket-threshold
+    # predicates, so we assert the Filter's presence structurally)
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l
+               and "__u" in l]
+    assert len(win_idx) == 1, plan
+    i = win_idx[0]
+    rel = next(j for j in range(i, len(lines))
+               if "Relation" in lines[j] or "LogicalRDD" in lines[j])
+    assert any("Filter" in l for l in lines[i:rel]), plan
+    # and the census window (bucket cumsum) orders by __bkt, not __u —
+    # i.e. no second corpus-ordered window anywhere
+    assert sum("Window" in l and "__bkt" in l and "orderBy" not in l
+               for l in lines) <= 2
