@@ -89,11 +89,34 @@ def contamination_report(docs: DataFrame, bench: DataFrame,
                  .alias("sample_hits")))
 
 
+def contamination_fractions(docs: DataFrame, bench: DataFrame,
+                            k: int = K_WORDS, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_grams, n_hit, overlap_ppm) for every doc WITH
+    grams (docs shorter than k words have no gram surface and are never
+    contaminated).  overlap_ppm is integer half-up — the house
+    cross-engine rounding — but threshold decisions in
+    :func:`decontaminate` never divide at all (pure integer cross-
+    multiplication), so the ppm column is audit-only."""
+    dg = _doc_grams(docs, k, id_col, text_col)
+    totals = dg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (dg.join(F.broadcast(benchmark_grams(bench, k, text_col)),
+                    "gram")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit")))
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.floor((F.coalesce("n_hit", F.lit(0)) * 2_000_000
+                             + F.col("n_grams"))
+                            / (2 * F.col("n_grams"))).cast("long")
+                    .alias("overlap_ppm")))
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, k: int = K_WORDS,
                   id_col: str = "doc_id", text_col: str = "text",
                   mode: str = "broadcast",
-                  broadcast_gram_limit: int = BROADCAST_GRAM_LIMIT
-                  ) -> DataFrame:
+                  broadcast_gram_limit: int = BROADCAST_GRAM_LIMIT,
+                  max_overlap_ppm: int | None = None) -> DataFrame:
     """The clean corpus: every input column, minus documents sharing any
     k-gram with the benchmark.
 
@@ -107,7 +130,16 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = K_WORDS,
     (collision budget as in substring_dedup: ~n²/2^61 false pairs,
     each dropping one extra doc — conservative in drop-mode hygiene).
     ``mode="auto"``: count the eval grams (an action on the small side
-    only) and pick.  In every mode the contaminated-id set is
+    only) and pick.
+
+    ``max_overlap_ppm`` switches from the any-hit rule (GPT-3 appendix
+    C, the conservative default) to the overlap-FRACTION rule
+    (PaLM-style): a doc is dropped only when hit_grams/doc_grams
+    exceeds the threshold.  The comparison is pure integer
+    cross-multiplication (n_hit · 10⁶ > ppm · n_grams) — no division,
+    no rounding, engine-identical by construction.
+
+    In every mode the contaminated-id set is
     corpus-derived and unbounded — one common boilerplate 8-gram in an
     eval doc can mark a large corpus fraction — so its anti-join is
     left to the planner/AQE, which broadcasts when it measures small
@@ -126,8 +158,66 @@ def decontaminate(docs: DataFrame, bench: DataFrame, k: int = K_WORDS,
                 .join(benchmark_gram_fps(bench, k, text_col), "gram_fp"))
     else:
         raise ValueError(f"unknown decontaminate mode: {mode!r}")
-    contaminated = hits.select(id_col).distinct()
+    if max_overlap_ppm is None:
+        contaminated = hits.select(id_col).distinct()
+    else:
+        totals = dg.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__n"))
+        contaminated = (hits.groupBy(id_col)
+                        .agg(F.count(F.lit(1)).alias("__h"))
+                        .join(totals, id_col)
+                        .filter(F.col("__h") * 1_000_000
+                                > F.lit(int(max_overlap_ppm))
+                                * F.col("__n"))
+                        .select(id_col))
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def duckdb_fraction_kept_sql(k: int = K_WORDS,
+                             max_overlap_ppm: int = 700_000) -> str:
+    """Exact twin of :func:`decontaminate` with ``max_overlap_ppm`` over
+    views documents(doc_id, text) / bench(bench_id, text) -> the KEPT
+    doc_ids (same integer cross-multiplication, no division)."""
+    leads = " || ' ' || ".join(
+        ["word"] + [f"lead(word, {j}) OVER w" for j in range(1, k)])
+    return f"""
+        WITH dt AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS word,
+                   generate_subscripts(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''), 1) AS pos
+            FROM documents
+        ), dg AS (
+            SELECT DISTINCT doc_id, g AS gram FROM (
+                SELECT doc_id, {leads} AS g FROM dt
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            WHERE g IS NOT NULL
+        ), bt AS (
+            SELECT bench_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS word,
+                   generate_subscripts(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''), 1) AS pos
+            FROM bench
+        ), bg AS (
+            SELECT DISTINCT g AS gram FROM (
+                SELECT bench_id, {leads} AS g FROM bt
+                WINDOW w AS (PARTITION BY bench_id ORDER BY pos))
+            WHERE g IS NOT NULL
+        ), tot AS (
+            SELECT doc_id, count(*) AS n FROM dg GROUP BY 1
+        ), hit AS (
+            SELECT d.doc_id, count(*) AS h
+            FROM dg d JOIN bg USING (gram) GROUP BY 1
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+            WHERE h.h * 1000000 > {int(max_overlap_ppm)} * t.n)
+    """
 
 
 def duckdb_contamination_sql(k: int = K_WORDS) -> str:

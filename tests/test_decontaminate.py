@@ -129,3 +129,42 @@ def test_overlap_across_line_break_detected(spark):
         "bench_id long, text string")
     rep = DC.contamination_report(docs, bench, k=6).collect()
     assert rep and rep[0]["doc_id"] == 0 and rep[0]["n_hit_grams"] >= 1
+
+
+def test_fraction_mode_vs_oracle(frames):
+    """PaLM-style overlap-fraction rule: doc 0 (3 hit grams of 6) stays
+    at a 70% threshold and falls at 40%; the kept sets match the exact
+    integer-cross-multiplication twin at several thresholds, and
+    shuffle mode agrees with broadcast mode."""
+    docs, bench = frames
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(TRAIN, columns=["doc_id", "text"]))
+    con.register("bench", pd.DataFrame(BENCH, columns=["bench_id", "text"]))
+    for ppm in (10_000, 400_000, 500_000, 700_000, 1_000_000):
+        kept = sorted(r["doc_id"] for r in DC.decontaminate(
+            docs, bench, K, max_overlap_ppm=ppm).collect())
+        want = sorted(r[0] for r in con.execute(
+            DC.duckdb_fraction_kept_sql(K, ppm)).fetchall())
+        assert kept == want, ppm
+        shuf = sorted(r["doc_id"] for r in DC.decontaminate(
+            docs, bench, K, mode="shuffle",
+            max_overlap_ppm=ppm).collect())
+        assert shuf == kept, ppm
+
+    fr = {r["doc_id"]: (r["n_grams"], r["n_hit"], r["overlap_ppm"])
+          for r in DC.contamination_fractions(docs, bench, K).collect()}
+    # doc 0: 12 words -> 9 distinct 4-grams, 3 hit -> 1/3 (ppm half-up)
+    assert fr[0] == (9, 3, 333_333)
+    assert fr[2] == (8, 3, 375_000)
+    assert fr[1][1] == 0 and fr[3][1] == 0
+    # the exact 1/3 boundary: strict integer > flips between
+    # 333333 (3e6 > 2999997 -> dropped) and 333334 (kept)
+    assert 0 not in {r["doc_id"] for r in DC.decontaminate(
+        docs, bench, K, max_overlap_ppm=333_333).collect()}
+    assert 0 in {r["doc_id"] for r in DC.decontaminate(
+        docs, bench, K, max_overlap_ppm=333_334).collect()}
+    # threshold 1e6 can only drop fully-contained docs: nothing here
+    assert sorted(r["doc_id"] for r in DC.decontaminate(
+        docs, bench, K, max_overlap_ppm=1_000_000).collect()) \
+        == [0, 1, 2, 3]
