@@ -104,6 +104,11 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     """docs(doc_id, text[, source]) -> funnel metrics dict; when
     ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
     and ``manifest`` (the packed-sequence table) under it."""
+    if weights is not None and token_budgets is not None:
+        raise ValueError(
+            "pass either weights= (Bernoulli keep-rates) or "
+            "token_budgets= (exact token prefixes), not both — the mix "
+            "stage runs exactly one sampler")
     metrics: dict[str, int] = {"input": docs.count()}
 
     # 0. optional encoding hygiene: control-char scrub + NFC pinning,

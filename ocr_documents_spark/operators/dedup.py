@@ -105,6 +105,18 @@ def fingerprint15(col):
     return F.substring(F.md5(col), 1, 15)
 
 
+def md5_u32(col, salt: str = ""):
+    """THE house-style 32-bit uniform hash: first 8 md5 hex digits of
+    the stringified value (+ optional salt) as a long in [0, 2^32) —
+    the shared key behind deterministic sampling (mixing), hash-sample
+    training (linear_classifier), and bucket histograms.  DuckDB twin:
+    ``('0x' || substr(md5('salt' || x::VARCHAR), 1, 8))::BIGINT``.
+    Change the width/salt policy HERE only.  (ivf._train_sample_filter
+    predates this helper and stays locked to its unrolled oracles.)"""
+    key = F.concat(F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
 def ngrams_over(words, n: int):
     """Word n-grams via higher-order array functions — entirely JVM-side,
     ZERO shuffle.  ``words`` MUST be a materialized column reference, not an

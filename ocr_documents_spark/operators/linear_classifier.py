@@ -107,12 +107,10 @@ def train_linear_classifier(docs: DataFrame, label_col: str = "label",
     if lr <= 0 or (lr != 2 ** round(np.log2(lr))):
         raise ValueError(f"lr must be a power of two for exact "
                          f"cross-engine arithmetic, got {lr}")
+    from .dedup import md5_u32
     train = docs
     if sample_mod > 1:
-        train = docs.filter(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
-                               1, 8), 16, 10).cast("long")
-            % sample_mod == 0)
+        train = docs.filter(md5_u32(F.col(id_col)) % sample_mod == 0)
     train = train.select(id_col, text_col,
                          (F.col(label_col) * MICRO).cast("long")
                          .alias("y"))
@@ -165,13 +163,21 @@ def score_docs(docs: DataFrame, weights: DataFrame, d: int = D_BUCKETS,
     def scorer(bucket_lists: pd.Series) -> pd.Series:
         w = bc.value
         bias = w[len(w) - 1]
-        out = np.empty(len(bucket_lists), dtype=np.int64)
-        for i, buckets in enumerate(bucket_lists):
-            z = bias + w[np.asarray(buckets, dtype=np.int64)].sum() \
-                if len(buckets) else bias
-            out[i] = min(max(500_000 + int(np.floor(z / 4.0)), 0),
-                         MICRO)
-        return pd.Series(out)
+        n = len(bucket_lists)
+        lens = np.fromiter((len(b) for b in bucket_lists), dtype=np.int64,
+                           count=n)
+        z = np.full(n, bias, dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(b, dtype=np.int64) for b in bucket_lists])
+            # bincount sums in float64 — exact here (|w| < 2^23 micro,
+            # row sums < 2^53) — then back to the integer domain
+            z += np.bincount(np.repeat(np.arange(n), lens),
+                             weights=w[flat].astype(np.float64),
+                             minlength=n).astype(np.int64)
+        p = np.clip(500_000 + np.floor(z / 4.0).astype(np.int64),
+                    0, MICRO)
+        return pd.Series(p)
 
     buckets = F.array_distinct(F.transform(
         ws_words_col(F.coalesce(F.col(text_col), F.lit(""))),

@@ -26,9 +26,8 @@ U_SCALE = float(1 << 32)
 
 def uniform_hash(id_col: Column, salt: str = "") -> Column:
     """Deterministic u ~ U[0,1) from the stringified id (+ salt)."""
-    key = F.concat(F.lit(salt), id_col.cast("string"))
-    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
-            / F.lit(U_SCALE))
+    from .dedup import md5_u32
+    return md5_u32(id_col, salt).cast("double") / F.lit(U_SCALE)
 
 
 def domain_weighted_sample(docs: DataFrame, weights: dict[str, float],
@@ -106,9 +105,10 @@ B_BITS = 10                     # 1024 histogram buckets per domain
 
 def _u_int(id_col: Column, salt: str = "") -> Column:
     """The integer sampling key u in [0, 2^32) — same hash as
-    :func:`uniform_hash`, kept integral so bucket math is exact."""
-    key = F.concat(F.lit(salt), id_col.cast("string"))
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    :func:`uniform_hash` (the shared dedup.md5_u32 primitive), kept
+    integral so bucket math is exact."""
+    from .dedup import md5_u32
+    return md5_u32(id_col, salt)
 
 
 def _budget_map(budgets: dict[str, int], default_budget: int) -> Column:
@@ -127,8 +127,11 @@ def token_budget_sample(docs: DataFrame, budgets: dict[str, int],
     """Keep, per domain, the deterministic (u, id)-ordered prefix of
     docs whose preceding cumulative token count is < the domain's
     budget.  Tokens = whitespace words of ``text_col`` unless a
-    precomputed ``token_col`` is given.  Domains without a budget fall
-    back to ``default_budget`` (0 = drop).  Returns the input columns.
+    precomputed ``token_col`` is given.  Domains without a budget —
+    including a NULL domain — fall back to ``default_budget``
+    (0 = drop).  Ids must be non-null (the ordering key is md5 of the
+    id, the contract every id-keyed operator here shares).  Returns
+    the input columns.
     """
     from pyspark.sql import Window
     from .dedup import ws_words_col
@@ -156,13 +159,27 @@ def token_budget_sample(docs: DataFrame, budgets: dict[str, int],
                      "__st",
                      F.when(F.col("__before") >= F.col("__budget"),
                             F.lit("drop"))
+                     # STRICT <: a bucket ending exactly on the budget
+                     # line routes through the partial window, so a
+                     # zero-token doc sitting at before == budget is
+                     # dropped — matching the oracle's strict prefix
+                     # rule (the trailing-zero-token boundary case)
                      .when(F.col("__before") + F.col("__bsum")
-                           <= F.col("__budget"), F.lit("keep"))
+                           < F.col("__budget"), F.lit("keep"))
                      .otherwise(F.lit("partial")))
-                 .select("__dom", "__bkt", "__st", "__before",
-                         "__budget"))
+                 .select(F.col("__dom").alias("__ddom"),
+                         F.col("__bkt").alias("__dbkt"),
+                         "__st", "__before", "__budget"))
 
-    tagged = base.join(F.broadcast(decisions), ["__dom", "__bkt"])
+    # null-safe on the domain: NULL-source docs form their own group
+    # and take default_budget, exactly like the oracle's CASE ELSE
+    # branch and domain_weighted_sample's coalesce (a plain equi-join
+    # would silently drop them)
+    tagged = (base.join(
+        F.broadcast(decisions),
+        F.col("__dom").eqNullSafe(F.col("__ddom"))
+        & (F.col("__bkt") == F.col("__dbkt")))
+        .drop("__ddom", "__dbkt"))
     kept_full = tagged.filter(F.col("__st") == "keep")
     # only the crossing bucket's docs enter a window — 1/2^B_BITS of a
     # domain in expectation, and its sort key is (u, id) within ONE

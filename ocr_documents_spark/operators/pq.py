@@ -320,6 +320,10 @@ class IvfPqIndex:
     vectors: DataFrame    # (vec_id, embedding) raw candidates
     dim: int
     m: int
+    # the build-time candidate predicate, re-applied by
+    # update_ivfpq_index so a diff over the RAW corpus snapshots cannot
+    # pollute a filtered index with non-candidate vectors
+    candidate_filter: object | None = None
 
 
 def build_ivfpq_index(emb: DataFrame, candidate_filter=None,
@@ -344,7 +348,7 @@ def build_ivfpq_index(emb: DataFrame, candidate_filter=None,
              .select("vec_id", "cell", "sub", "code"))
     if checkpoint:
         codes = codes.localCheckpoint()
-    return IvfPqIndex(coarse, cb, codes, cands, dim, m)
+    return IvfPqIndex(coarse, cb, codes, cands, dim, m, candidate_filter)
 
 
 def embedding_payload(emb: DataFrame) -> DataFrame:
@@ -368,13 +372,21 @@ def update_ivfpq_index(index: IvfPqIndex, diff: DataFrame,
     IVF-PQ deployment split (encode daily, retrain on drift) — when the
     corpus distribution moves, rebuild with ``build_ivfpq_index`` and
     atomically swap the saved index.
+
+    The diff may be computed over the RAW corpus snapshots: the index's
+    build-time ``candidate_filter`` is re-applied to the fresh side, so
+    added/changed vectors outside the candidate set never enter the
+    codes or vectors tables (they can still VACATE rows — a candidate
+    whose new version fails the filter is correctly removed).
     """
     from .ivf import _nearest_cell
     stale = (diff.filter(F.col("status").isin("removed", "changed"))
              .select("vec_id"))
     todo = (diff.filter(F.col("status").isin("added", "changed"))
             .select("vec_id"))
-    fresh = _as_double(new_emb.join(todo, "vec_id", "left_semi"))
+    new_c = (new_emb if index.candidate_filter is None
+             else new_emb.filter(index.candidate_filter))
+    fresh = _as_double(new_c.join(todo, "vec_id", "left_semi"))
     fresh_cells = _nearest_cell(fresh, index.coarse).select("vec_id", "cell")
     fresh_codes = (encode_pq(fresh, index.codebooks, index.m,
                              dim=index.dim)
@@ -385,7 +397,7 @@ def update_ivfpq_index(index: IvfPqIndex, diff: DataFrame,
     vectors = (index.vectors.join(stale, "vec_id", "left_anti")
                .unionByName(fresh.select(*index.vectors.columns)))
     return IvfPqIndex(index.coarse, index.codebooks, codes, vectors,
-                      index.dim, index.m)
+                      index.dim, index.m, index.candidate_filter)
 
 
 def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:

@@ -266,3 +266,12 @@ def test_token_budget_mixing_stage(spark):
                      token_budgets={"web": n_web_tokens, "books": 10**9})
     assert m["after_mixing"] < m["after_dedup"]
     assert m["after_mixing"] == 1 + 1      # one-doc web prefix + books
+
+
+def test_conflicting_samplers_rejected(spark):
+    docs = spark.createDataFrame([(0, GOOD, "web")],
+                                 "doc_id long, text string, source string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not both"):
+        run_curation(spark, docs, weights={"web": 1.0},
+                     token_budgets={"web": 100})

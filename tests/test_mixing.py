@@ -153,3 +153,54 @@ def test_token_budget_plan_has_no_whole_domain_window(docs):
     # i.e. no second corpus-ordered window anywhere
     assert sum("Window" in l and "__bkt" in l and "orderBy" not in l
                for l in lines) <= 2
+
+
+def test_token_budget_null_domain_takes_default(spark):
+    """NULL-source docs are their own group under default_budget (the
+    oracle's CASE ELSE branch) — a plain equi-join would silently drop
+    them (r4 review finding)."""
+    rows = [(i, "one two three four five", None if i < 4 else "web")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    kept = sorted(r["doc_id"] for r in
+                  MX.token_budget_sample(df, {"web": 10**9},
+                                         default_budget=7).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(r[0] for r in con.execute(MX.duckdb_token_budget_sql(
+        {"web": 10**9}, default_budget=7)).fetchall())
+    assert kept == want
+    # the 7-token default keeps exactly the first 5-token NULL doc's
+    # prefix (1 full doc + the crossing doc) plus all web docs
+    assert sum(1 for i in kept if i < 4) == 2
+    assert sum(1 for i in kept if i >= 4) == 4
+
+
+def test_token_budget_zero_token_doc_at_exact_boundary(spark, monkeypatch):
+    """A zero-token doc whose preceding cumulative equals the budget
+    must be DROPPED (strict prefix <) even when its whole bucket ends
+    exactly on the budget line — B_BITS=0 forces one bucket per domain
+    so the keep/partial classification is what decides (r4 review:
+    the old <= keep rule kept it, diverging from the oracle)."""
+    import hashlib
+    monkeypatch.setattr(MX, "B_BITS", 0)
+    u = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+    ids = sorted(range(100, 120), key=lambda i: (u(i), i))
+    word_ids, empty_id = ids[:3], ids[-1]    # empty doc sorts LAST
+    rows = [(i, "token", "d") for i in word_ids] + \
+           [(empty_id, "", "d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    kept = sorted(r["doc_id"] for r in
+                  MX.token_budget_sample(df, {"d": 3}).collect())
+    assert kept == sorted(word_ids)          # boundary doc dropped
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(r[0] for r in con.execute(
+        MX.duckdb_token_budget_sql({"d": 3})).fetchall())
+    assert kept == want

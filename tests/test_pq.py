@@ -210,6 +210,17 @@ def test_update_ivfpq_index_equals_reencode(spark, emb):
         .select("vec_id"), "vec_id", "left_semi")
     assert key(PQ.update_ivfpq_index(index, diff, todo_only).codes) == want
 
+    # a diff over the RAW snapshots (including non-candidate ids that
+    # changed) must produce the same index: the stored candidate_filter
+    # re-applies, so query-side vectors never pollute the codes table
+    # (r4 review finding)
+    raw_diff = snapshot_diff(PQ.embedding_payload(emb),
+                             PQ.embedding_payload(new),
+                             id_col="vec_id", text_col="payload")
+    updated_raw = PQ.update_ivfpq_index(index, raw_diff, new)
+    assert key(updated_raw.codes) == want
+    assert updated_raw.vectors.filter(~cf).count() == 0
+
     # the maintained index answers queries (k ranked rows per query)
     got = PQ.ivfpq_query(updated, emb.filter(F.col("vec_id") < 5),
                          shortlist=10).collect()
