@@ -126,3 +126,18 @@ def test_arrow_scoring_plan_is_shuffle_free(corpus):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_training_is_partitioning_and_order_invariant(corpus):
+    """The exactness design pays off operationally: integer gradient
+    sums are order-independent, so the trained weights are IDENTICAL
+    under any partitioning or row order — a float implementation would
+    drift in the last ulp and break rerun reproducibility."""
+    train, _ = corpus
+    w0 = sorted(map(tuple,
+                    LC.train_linear_classifier(train, iters=3).collect()))
+    w1 = sorted(map(tuple, LC.train_linear_classifier(
+        train.repartition(29), iters=3).collect()))
+    w2 = sorted(map(tuple, LC.train_linear_classifier(
+        train.orderBy(F.desc("doc_id")), iters=3).collect()))
+    assert w0 == w1 == w2
