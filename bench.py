@@ -160,6 +160,8 @@ def main() -> None:
     from ocr_documents_spark.operators.linear_classifier import (
         score_docs, train_linear_classifier)
     from ocr_documents_spark.operators.mixing import token_budget_sample
+    from ocr_documents_spark.operators.semantic_decontaminate import (
+        semantic_decontaminate)
     from ocr_documents_spark.operators.urls import cap_per_host
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
@@ -181,6 +183,14 @@ def main() -> None:
             emb_tbl, F.col("vec_id") >= 5):
             ivfpq_query(index, emb_tbl.filter(F.col("vec_id") < 5))),
         "decontaminate": lambda: decontaminate(bench_docs, eval_set, k=8),
+        # the embedding-space complement: eval items are perturbed
+        # copies (paraphrase stand-ins) of every 97th corpus vector
+        "semantic_decontaminate": lambda: semantic_decontaminate(
+            emb_tbl,
+            emb_tbl.filter(F.col("vec_id") % 97 == 0).select(
+                "vec_id",
+                F.transform("embedding", lambda v: v * 0.99 + 0.003)
+                .alias("embedding"))),
         "domain_mixing": lambda: domain_weighted_sample(
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
