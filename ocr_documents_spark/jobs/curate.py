@@ -40,6 +40,12 @@ each emits one row in the funnel metrics):
    are dropped; documents without an embedding row are untouched;
 4. **decontaminate** — drop docs sharing any k-gram with the eval set
    (operators/decontaminate; skipped when no eval set is given);
+4b. **semantic_decontaminate** (optional, pass ``bench_emb`` with
+   ``emb``) — embedding-space eval-leak removal
+   (operators/semantic_decontaminate): docs whose embedding cosine vs
+   any eval embedding reaches the threshold are dropped — the
+   paraphrased/translated leaks the k-gram pass cannot see; docs
+   without an embedding row pass through untouched;
 5. **mix** — deterministic per-domain sampling (operators/mixing):
    Bernoulli keep-rates (``weights=``) or exact per-domain TOKEN
    budgets (``token_budgets=`` — the "300B web, 30B code" recipe
@@ -80,6 +86,8 @@ from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
                                                     train_lm_counts)
 from ocr_documents_spark.operators.normalize import normalize_docs
 from ocr_documents_spark.operators.pii import scrub_corpus
+from ocr_documents_spark.operators.semantic_decontaminate import \
+    semantic_contamination_report
 from ocr_documents_spark.operators.semdedup import \
     semantic_dedup_groups_two_level
 from ocr_documents_spark.operators.quality_filters import \
@@ -90,6 +98,7 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  bench: DataFrame | None = None,
                  weights: dict[str, float] | None = None,
                  emb: DataFrame | None = None,
+                 bench_emb: DataFrame | None = None,
                  seq_len: int = 2048,
                  dedup_threshold: float = 0.7,
                  normalize: bool = False,
@@ -195,6 +204,23 @@ def run_curation(spark: SparkSession, docs: DataFrame,
         cur = decontaminate(cur, bench).localCheckpoint()
         metrics["after_decontaminate"] = cur.count()
 
+    # 4b. optional semantic decontamination: embedding-space eval
+    # leaks (paraphrased/translated eval items the k-gram pass cannot
+    # see).  The eval embeddings broadcast; the corpus side never
+    # shuffles in the scoring join; docs without an embedding row pass
+    # through untouched
+    if bench_emb is not None:
+        if emb is None:
+            raise ValueError(
+                "bench_emb= (eval embeddings) requires emb= (corpus "
+                "embeddings keyed by vec_id == doc_id)")
+        alive = emb.join(cur.select(F.col("doc_id").alias("vec_id")),
+                         "vec_id", "left_semi")
+        leaked = (semantic_contamination_report(alive, bench_emb)
+                  .select(F.col("vec_id").alias("doc_id")))
+        cur = cur.join(leaked, "doc_id", "left_anti").localCheckpoint()
+        metrics["after_semantic_decontaminate"] = cur.count()
+
     # 5. domain mixing — Bernoulli rates or exact token budgets
     if weights is not None:
         cur = domain_weighted_sample(cur, weights).localCheckpoint()
@@ -228,6 +254,10 @@ def main(argv=None) -> int:
     p.add_argument("--emb", default=None,
                    help="parquet of (vec_id, embedding) for semantic "
                         "dedup (vec_id == doc_id)")
+    p.add_argument("--bench-emb", default=None,
+                   help="parquet of (vec_id, embedding) eval-set "
+                        "embeddings for semantic decontamination "
+                        "(requires --emb)")
     p.add_argument("--weights", default=None,
                    help='JSON {"domain": rate, ...} for the mixing stage')
     p.add_argument("--token-budgets", default=None,
@@ -255,6 +285,8 @@ def main(argv=None) -> int:
     weights = json.loads(args.weights) if args.weights else None
     emb = spark.read.parquet(args.emb) if args.emb else None
     metrics = run_curation(spark, docs, bench, weights, emb=emb,
+                           bench_emb=(spark.read.parquet(args.bench_emb)
+                                      if args.bench_emb else None),
                            seq_len=args.seq_len,
                            normalize=args.normalize,
                            blocklist_phrases=(

@@ -183,6 +183,35 @@ def test_semantic_dedup_stage_drops_embedding_twin(spark, corpus, bench):
     assert m["after_decontaminate"] == m_plain["after_decontaminate"] - 1
 
 
+def test_semantic_decontaminate_stage(spark, corpus, bench):
+    """bench_emb engages the embedding-space eval-leak stage: the doc
+    whose embedding sits at cos ~1 to an eval embedding is dropped even
+    though it shares no k-gram with any eval text; orthogonal
+    embeddings keep the semdedup stage a no-op; embedding-less docs
+    pass through; bench_emb without emb is rejected."""
+    def unit(i):
+        v = [0.0] * 8
+        v[i] = 1.0
+        return v
+    emb = spark.createDataFrame(
+        [(0, unit(0)), (2, unit(2)), (5, unit(5)), (6, unit(6))],
+        "vec_id long, embedding array<double>")
+    bench_emb = spark.createDataFrame(
+        [(900, [x * 0.99 + 0.003 for x in unit(2)])],
+        "vec_id long, embedding array<double>")
+    m = run_curation(spark, corpus, bench,
+                     {"web": 1.0, "books": 1.0}, emb=emb,
+                     bench_emb=bench_emb)
+    assert m["after_semdedup"] == m["after_dedup"]         # 3b no-op
+    # doc 2 leaks semantically (cos ~0.99996 to the eval vector) while
+    # sharing zero 8-grams with the eval TEXT — only 4b catches it
+    assert m["after_semantic_decontaminate"] == \
+        m["after_decontaminate"] - 1
+    assert m["after_mixing"] == m["after_semantic_decontaminate"] - 1
+    with pytest.raises(ValueError, match="requires emb="):
+        run_curation(spark, corpus, bench_emb=bench_emb)
+
+
 def test_normalize_stage_restores_dedup(spark):
     """Byte-variant duplicates (NFC vs NFD of the same visible text)
     dodge MinHash dedup — every accented shingle hashes differently.
