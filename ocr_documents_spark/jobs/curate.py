@@ -87,7 +87,7 @@ from ocr_documents_spark.operators.ngram_lm import (perplexity_scores,
 from ocr_documents_spark.operators.normalize import normalize_docs
 from ocr_documents_spark.operators.pii import scrub_corpus
 from ocr_documents_spark.operators.semantic_decontaminate import \
-    semantic_contamination_report
+    semantic_hit_ids
 from ocr_documents_spark.operators.semdedup import \
     semantic_dedup_groups_two_level
 from ocr_documents_spark.operators.quality_filters import \
@@ -118,6 +118,11 @@ def run_curation(spark: SparkSession, docs: DataFrame,
             "pass either weights= (Bernoulli keep-rates) or "
             "token_budgets= (exact token prefixes), not both — the mix "
             "stage runs exactly one sampler")
+    if bench_emb is not None and emb is None:
+        # argument errors surface BEFORE stages 0-4 burn cluster hours
+        raise ValueError(
+            "bench_emb= (eval embeddings) requires emb= (corpus "
+            "embeddings keyed by vec_id == doc_id)")
     metrics: dict[str, int] = {"input": docs.count()}
 
     # 0. optional encoding hygiene: control-char scrub + NFC pinning,
@@ -210,13 +215,11 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     # shuffles in the scoring join; docs without an embedding row pass
     # through untouched
     if bench_emb is not None:
-        if emb is None:
-            raise ValueError(
-                "bench_emb= (eval embeddings) requires emb= (corpus "
-                "embeddings keyed by vec_id == doc_id)")
         alive = emb.join(cur.select(F.col("doc_id").alias("vec_id")),
                          "vec_id", "left_semi")
-        leaked = (semantic_contamination_report(alive, bench_emb)
+        # hit ids only — the report's per-doc aggregate (n_eval_hits,
+        # max_cos) would be paid and immediately discarded here
+        leaked = (semantic_hit_ids(alive, bench_emb)
                   .select(F.col("vec_id").alias("doc_id")))
         cur = cur.join(leaked, "doc_id", "left_anti").localCheckpoint()
         metrics["after_semantic_decontaminate"] = cur.count()

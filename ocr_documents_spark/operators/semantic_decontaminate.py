@@ -60,6 +60,26 @@ def _rounded_cos(a, b):
     return F.round(cosine(a, b), 4) + F.lit(0.0)
 
 
+def semantic_hit_ids(corpus_emb: DataFrame, eval_emb: DataFrame,
+                     threshold: float = COS_THRESHOLD,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     eval_id_col: str = "vec_id") -> DataFrame:
+    """-> (id_col) of CONTAMINATED corpus rows (duplicates possible —
+    one row per (doc, eval) hit), broadcast shape.  The cheapest drop
+    key: an anti-join consumer needs neither the per-doc aggregate
+    :func:`semantic_contamination_report` pays nor DISTINCT — use the
+    report only when the audit columns are actually read."""
+    e = _as_double(corpus_emb.select(F.col(id_col).alias("vec_id"),
+                                     F.col(emb_col).alias("embedding")))
+    ev = _eval_vectors(eval_emb, eval_id_col, emb_col)
+    return (e.crossJoin(F.broadcast(ev))
+            .withColumn("cos", _rounded_cos(F.col("embedding"),
+                                            F.col("ev")))
+            .filter(F.col("cos") >= threshold)
+            .select(F.col("vec_id").alias(id_col)))
+
+
 def semantic_contamination_report(corpus_emb: DataFrame,
                                   eval_emb: DataFrame,
                                   threshold: float = COS_THRESHOLD,
@@ -93,6 +113,9 @@ def semantic_decontaminate(corpus: DataFrame, eval_emb: DataFrame,
                            iters: int = ITERS,
                            sample_mod: int = TRAIN_SAMPLE_MOD,
                            centroids: DataFrame | None = None,
+                           seed_by_hash: bool = False,
+                           k: int = K_CELLS,
+                           init_ids: list[int] | None = None,
                            id_col: str = "vec_id",
                            emb_col: str = "embedding",
                            eval_id_col: str = "vec_id") -> DataFrame:
@@ -101,20 +124,27 @@ def semantic_decontaminate(corpus: DataFrame, eval_emb: DataFrame,
 
     ``centroids`` (cells mode) reuses an already-trained codebook —
     e.g. the one the ANN index or SemDeDup trained — instead of running
-    Lloyd's again; the contaminated-id anti-join is left to the
-    planner/AQE in both modes (the hit set is corpus-derived and
-    unbounded, the same reasoning as decontaminate())."""
+    Lloyd's again; ``seed_by_hash=True`` (cells mode, self-training)
+    derives the Lloyd's seeds from the data — REQUIRED for corpora whose
+    id space does not contain the fixture ``init_ids``, where absolute-id
+    seeding would silently shrink (or empty) the codebook and the
+    operator would silently under-drop; the contaminated-id anti-join is
+    left to the planner/AQE in both modes (the hit set is corpus-derived
+    and unbounded, the same reasoning as decontaminate())."""
+    if mode == "broadcast":
+        return corpus.join(
+            semantic_hit_ids(corpus, eval_emb, threshold, id_col,
+                             emb_col, eval_id_col),
+            id_col, "left_anti")
     e = _as_double(corpus.select(F.col(id_col).alias("vec_id"),
                                  F.col(emb_col).alias("embedding")))
     ev = _eval_vectors(eval_emb, eval_id_col, emb_col)
-    if mode == "broadcast":
-        scored = e.crossJoin(F.broadcast(ev))
-    elif mode == "cells":
+    if mode == "cells":
         cent = (centroids if centroids is not None
                 else train_centroids(
-                    corpus.select(F.col(id_col).alias("vec_id"),
-                                  F.col(emb_col).alias("embedding")),
-                    iters=iters, sample_mod=sample_mod))
+                    e, init_ids=init_ids, iters=iters,
+                    sample_mod=sample_mod,
+                    seed_by_hash=seed_by_hash, k=k))
         assigned = _nearest_cell(e, cent)
         wq = Window.partitionBy("eval_id").orderBy(F.asc("d2"),
                                                    F.asc("cell"))
@@ -199,17 +229,35 @@ def duckdb_semantic_kept_cells_sql(corpus_sql: str, eval_sql: str,
                                    nprobe: int = NPROBE,
                                    iters: int = ITERS,
                                    sample_mod: int = TRAIN_SAMPLE_MOD,
-                                   init_ids: list[int] = None) -> str:
+                                   init_ids: list[int] = None,
+                                   seed_by_hash: bool = False,
+                                   k: int = K_CELLS) -> str:
     """Exact twin of mode="cells": the identical Lloyd's unroll
-    (ivf's builders), corpus assigned to its nearest cell, eval
-    replicated to its top-``nprobe`` cells, scoring joined on the
-    cell."""
+    (ivf's builders, incl. the ``seed_by_hash`` data-derived seeding),
+    corpus assigned to its nearest cell, eval replicated to its
+    top-``nprobe`` cells, scoring joined on the cell."""
     init_ids = INIT_IDS if init_ids is None else init_ids
     seed_values = ", ".join(f"({v}, {i})" for i, v in enumerate(init_ids))
     train_src = ("e" if sample_mod <= 1 else f"""(
             SELECT vec_id, embedding FROM e
             WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
                   % {sample_mod} = 0)""")
+    if seed_by_hash:
+        c0 = f"""c0 AS (
+            SELECT rn - 1 AS cell, embedding AS cvec FROM (
+                SELECT embedding,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                    vec_id ASC) AS rn
+                FROM e)
+            WHERE rn <= {k}
+        )"""
+    else:
+        c0 = f"""c0 AS (
+            SELECT m.cell, e.embedding AS cvec
+            FROM e JOIN (VALUES {seed_values}) m(vid, cell)
+              ON e.vec_id = m.vid
+        )"""
     parts = [f"""e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -221,11 +269,7 @@ def duckdb_semantic_kept_cells_sql(corpus_sql: str, eval_sql: str,
                        AS ev
             FROM ({eval_sql})
         ),
-        c0 AS (
-            SELECT m.cell, e.embedding AS cvec
-            FROM e JOIN (VALUES {seed_values}) m(vid, cell)
-              ON e.vec_id = m.vid
-        )"""]
+        {c0}"""]
     for i in range(iters):
         parts.append(_duck_assign(train_src, f"c{i}", f"a{i}"))
         parts.append(_duck_recompute(f"a{i}", f"c{i + 1}"))

@@ -98,6 +98,47 @@ def test_cells_mode_matches_unrolled_twin(corpus, eval_emb):
     assert set(kept) >= brute
 
 
+def test_cells_seed_by_hash_on_foreign_id_space(corpus, eval_emb):
+    """Production trap regression: a corpus whose id space lacks the
+    fixture INIT_IDS would silently train an EMPTY codebook under
+    absolute-id seeding and the cells mode would no-op (eval leaks pass
+    into training).  seed_by_hash=True derives the seeds from the data —
+    the operator must actually drop, and match the seed_by_hash twin
+    value-for-value on the shifted ids."""
+    shift = 10_000
+    sh_corpus = corpus.select(
+        (F.col("vec_id") + shift).alias("vec_id"), "embedding")
+    sh_eval = eval_emb.select(
+        (F.col("vec_id") + shift).alias("vec_id"), "embedding")
+    kept = sorted(r["vec_id"] for r in
+                  SD.semantic_decontaminate(
+                      sh_corpus, sh_eval, mode="cells",
+                      seed_by_hash=True).collect())
+    n = corpus.count()
+    assert len(kept) < n, "cells mode no-opped on a foreign id space"
+    con = duckdb.connect()
+    sh_corpus_sql = (f"SELECT vec_id + {shift} AS vec_id, embedding "
+                     f"FROM ({CORPUS_SQL})")
+    sh_eval_sql = (f"SELECT vec_id + {shift} AS vec_id, embedding "
+                   f"FROM ({EVAL_SQL})")
+    want = sorted(r[0] for r in con.execute(
+        SD.duckdb_semantic_kept_cells_sql(
+            sh_corpus_sql, sh_eval_sql, seed_by_hash=True)).fetchall())
+    assert kept == want
+
+
+def test_hit_ids_anti_join_equals_broadcast_mode(corpus, eval_emb):
+    """semantic_hit_ids is the cheap drop key the curation stage uses:
+    anti-joining on it must reproduce semantic_decontaminate exactly
+    (duplicates in the hit stream are harmless to an anti-join)."""
+    via_helper = sorted(r["vec_id"] for r in corpus.join(
+        SD.semantic_hit_ids(corpus, eval_emb),
+        "vec_id", "left_anti").collect())
+    direct = sorted(r["vec_id"] for r in
+                    SD.semantic_decontaminate(corpus, eval_emb).collect())
+    assert via_helper == direct
+
+
 def test_injected_codebook_reused(corpus, eval_emb):
     from ocr_documents_spark.operators.ivf import train_centroids
     cb = train_centroids(corpus)
