@@ -18,6 +18,15 @@ normalized = spark_speedup / control_speedup.  Spark meeting the control
 means the pipeline adds no scaling bottleneck of its own — which is what
 the 4N-executor criterion is actually probing.
 
+The control pair is measured INSIDE every round (right after that
+round's Spark pair), and the headline normalized number is the median of
+same-round spark/control ratios.  Runs A-Q normalized the whole pair
+block against one control block measured up front; their forensics
+showed the box's control itself drifting 27% between windows 29 minutes
+apart, which is exactly the gap a same-round control closes.  The
+whole-run pre-control is still measured and reported
+(scaling_efficiency_vs_run_control) for continuity with those runs.
+
 Each level runs in its own subprocess (fresh JVM: no cross-level cache
 pollution), warms Python workers + codegen first, then takes the best of
 REPEATS timed runs (steady-state throughput; a long-lived cluster pays
@@ -147,8 +156,13 @@ def main() -> None:
 
     # interleaved rounds: this VM's throughput drifts over minutes (vCPU
     # contention / page cache), so measure N and 4N back-to-back per round
-    # and pair them — slow drift then hits both levels of a pair equally
+    # and pair them — slow drift then hits both levels of a pair equally.
+    # The CONTROL pair is measured inside each round too: normalizing a
+    # pair against a single whole-run control block left control-vs-pairs
+    # drift as the one gap pairing could not cancel (BENCH.md's
+    # C/H/I/M/N/P/Q forensics — controls 27% apart 29 minutes apart).
     rounds = []
+    round_controls = []
     for _ in range(ROUNDS):
         pair = {}
         for p in LEVELS:
@@ -161,6 +175,11 @@ def main() -> None:
             pair[p] = json.loads(line[len("RESULT "):])
             time.sleep(10)
         rounds.append(pair)
+        rc = {}
+        for p in LEVELS:
+            rc[p] = hardware_control(p)
+            time.sleep(10)
+        round_controls.append(rc)
 
     n, n4 = LEVELS
     factor = n4 / n
@@ -169,19 +188,33 @@ def main() -> None:
     best = {p: max(r[p]["docs_per_sec"] for r in rounds) for p in LEVELS}
     ceiling_speedup = (controls[n4]["docs_per_sec"]
                        / controls[n]["docs_per_sec"])
+    per_round_ceiling = [rc[n4]["docs_per_sec"] / rc[n]["docs_per_sec"]
+                         for rc in round_controls]
+    per_round_norm = [min(1.0, s / c)
+                      for s, c in zip(per_round, per_round_ceiling)]
+    norm_median = sorted(per_round_norm)[len(per_round_norm) // 2]
     eff = spark_speedup / factor
     out = {"rounds": rounds,
            "best_docs_per_sec": best,
            "hardware_control": controls,
+           "hardware_control_rounds": round_controls,
            "scaling_factor": factor,
            "per_round_speedup": [round(s, 3) for s in per_round],
+           "per_round_ceiling_speedup":
+               [round(c, 3) for c in per_round_ceiling],
+           "per_round_normalized": [round(v, 3) for v in per_round_norm],
            "spark_speedup_median_pair": round(spark_speedup, 3),
            "hardware_ceiling_speedup": round(ceiling_speedup, 3),
            "scaling_efficiency_raw": round(eff, 3),
-           "scaling_efficiency_vs_ceiling":
+           # headline: median of SAME-ROUND normalized ratios — both the
+           # pair and its ceiling come from one window
+           "scaling_efficiency_vs_ceiling": round(norm_median, 3),
+           # legacy number (runs A-Q): median pair over the single
+           # pre-run control block
+           "scaling_efficiency_vs_run_control":
                round(min(1.0, spark_speedup / ceiling_speedup), 3),
            "raw_meets_0.8": eff >= 0.8,
-           "vs_ceiling_meets_0.8": spark_speedup / ceiling_speedup >= 0.8}
+           "vs_ceiling_meets_0.8": norm_median >= 0.8}
     print(json.dumps(out, indent=2))
 
 
