@@ -61,11 +61,30 @@ clean_text[, source]) flows, and the funnel counts ride the stage
 actions the job needs anyway.  Every stage's operator carries its own
 DuckDB value oracle in its module tests; the composition test
 (tests/test_curate.py) checks the funnel's invariants end to end.
+
+Resumability (``checkpoint_dir=``): each completed stage writes its
+survivor table to ``{checkpoint_dir}/stage_{name}`` and then a commit
+marker (``meta_{name}``: config fingerprint + the cumulative funnel
+metrics).  The marker is written strictly AFTER the stage parquet and
+its funnel count succeed, so a driver/executor crash mid-stage leaves
+no marker and the stage simply re-runs (mode=overwrite) on the next
+attempt — the same write-then-checkpoint ladder jobs/lake.py uses for
+extraction buckets.  A re-run with the same ``checkpoint_dir`` resumes
+from the longest committed PREFIX of stages: earlier stages are never
+re-executed (their parquet is the input), the restored funnel metrics
+are exact, and a config change (any knob that alters a stage's output)
+flips the fingerprint and invalidates every marker.  Resume assumes
+the same input datasets — the fingerprint guards configuration, not
+corpus bytes (standard for checkpointed batch jobs; a changed corpus
+needs a fresh checkpoint_dir or ``resume=False``).  The terminal pack
+stage is recomputed on resume: it is a manifest over the final
+survivors, cheap relative to any corpus stage.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import sys
 
@@ -94,6 +113,57 @@ from ocr_documents_spark.operators.quality_filters import \
     quality_filter_report
 
 
+class _StageCheckpointer:
+    """Lake-backed stage checkpoints for :func:`run_curation`.
+
+    Commit protocol (crash-safe without atomic renames): the stage
+    parquet is written first, the funnel count runs against the
+    READ-BACK parquet (so the recorded metric describes the committed
+    bytes), and only then does the one-row ``meta_{name}`` marker land.
+    A marker therefore proves both the data and its metric; anything
+    without a marker is re-run and overwritten.  Markers embed the
+    config fingerprint so a knob change invalidates every prior stage
+    instead of silently resuming into a different pipeline.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, config_fp: str,
+                 resume: bool = True):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fp = config_fp
+        self.resume = resume
+
+    def _data(self, name: str) -> str:
+        return f"{self.root}/stage_{name}"
+
+    def _meta(self, name: str) -> str:
+        return f"{self.root}/meta_{name}"
+
+    def completed_metrics(self, name: str) -> dict | None:
+        """Cumulative funnel metrics of a committed stage, or None.
+        Existence is probed explicitly (lake house rule: only a
+        genuinely-absent marker is 'not there'; a corrupt one is fatal)."""
+        from .lake import _path_exists
+        if not self.resume or not _path_exists(self.spark,
+                                               self._meta(name)):
+            return None
+        rows = self.spark.read.text(self._meta(name)).collect()
+        meta = json.loads("".join(r["value"] for r in rows))
+        return meta["metrics"] if meta.get("config_fp") == self.fp else None
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._data(name))
+
+    def write_and_read(self, name: str, df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(self._data(name))
+        return self.read(name)
+
+    def commit(self, name: str, metrics: dict) -> None:
+        payload = json.dumps({"config_fp": self.fp, "metrics": metrics})
+        (self.spark.createDataFrame([(payload,)], "value string")
+         .coalesce(1).write.mode("overwrite").text(self._meta(name)))
+
+
 def run_curation(spark: SparkSession, docs: DataFrame,
                  bench: DataFrame | None = None,
                  weights: dict[str, float] | None = None,
@@ -109,10 +179,16 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  quality_model: DataFrame | None = None,
                  quality_threshold: int = 500_000,
                  token_budgets: dict[str, int] | None = None,
-                 out_dir: str | None = None) -> dict:
+                 out_dir: str | None = None,
+                 checkpoint_dir: str | None = None,
+                 resume: bool = True) -> dict:
     """docs(doc_id, text[, source]) -> funnel metrics dict; when
     ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
-    and ``manifest`` (the packed-sequence table) under it."""
+    and ``manifest`` (the packed-sequence table) under it.  With
+    ``checkpoint_dir`` every completed stage persists its survivors +
+    funnel metrics and a re-run resumes after the last committed stage
+    (module docstring: Resumability); ``resume=False`` keeps writing
+    checkpoints but ignores existing ones (forced full re-run)."""
     if weights is not None and token_budgets is not None:
         raise ValueError(
             "pass either weights= (Bernoulli keep-rates) or "
@@ -123,75 +199,100 @@ def run_curation(spark: SparkSession, docs: DataFrame,
         raise ValueError(
             "bench_emb= (eval embeddings) requires emb= (corpus "
             "embeddings keyed by vec_id == doc_id)")
-    metrics: dict[str, int] = {"input": docs.count()}
+    metrics: dict[str, int] = {}
+
+    # Stage table: (name, fn(cur, materialized) -> cur, barrier,
+    # count_key).  ``barrier`` replicates the pre-existing
+    # localCheckpoint placement when no checkpoint_dir is given (cheap
+    # projection stages deliberately stay lazy); with checkpoint_dir the
+    # parquet write-and-read-back IS the barrier for every stage.
+    # ``materialized`` tells a stage whether its input already sits
+    # behind a barrier (the boilerplate strip otherwise re-runs the PII
+    # regexp chain once per consumer).
+    stages: list = []
+
+    def add(name, fn, barrier=True, count_key=None):
+        stages.append((name, fn, barrier, count_key))
 
     # 0. optional encoding hygiene: control-char scrub + NFC pinning,
     # BEFORE any stage hashes text (dedup/decontamination correctness)
     if normalize:
-        docs = normalize_docs(docs)
+        add("normalize", lambda cur, _m: normalize_docs(cur),
+            barrier=False)
 
     # 1. scrub — downstream stages consume the masked text
-    cur = (scrub_corpus(docs, "text", "clean_text")
-           .drop("text").withColumnRenamed("clean_text", "text"))
+    add("scrub",
+        lambda cur, _m: (scrub_corpus(cur, "text", "clean_text")
+                         .drop("text")
+                         .withColumnRenamed("clean_text", "text")),
+        barrier=False)
 
     # 1b. optional corpus-wide boilerplate-line strip: text is
     # REWRITTEN (docs survive), so the count tracked is lines dropped.
     # Checkpoint the scrub output first — the line table, the census
     # and the text join-back would otherwise each re-run the PII
     # regexp chain (the job's most expensive projection) over the corpus
-    if strip_boilerplate:
-        cur = cur.localCheckpoint()
+    def _strip_stage(cur, materialized):
+        if not materialized:
+            cur = cur.localCheckpoint()
         stripped = remove_common_lines(cur).localCheckpoint()
         metrics["boilerplate_lines_dropped"] = int(
             stripped.agg(F.sum("n_dropped")).first()[0] or 0)
-        cur = (cur.drop("text")
-               .join(stripped.select("doc_id",
-                                     F.col("clean_text").alias("text")),
-                     "doc_id"))
+        return (cur.drop("text")
+                .join(stripped.select("doc_id",
+                                      F.col("clean_text").alias("text")),
+                      "doc_id"))
+    if strip_boilerplate:
+        add("line_strip", _strip_stage, barrier=False)
 
     # 1c. optional C4 bad-words rule: one codegen rlike, before quality
     if blocklist_phrases:
-        cur = drop_blocklisted(cur, blocklist_phrases)
-        metrics["after_blocklist"] = cur.count()
+        add("blocklist",
+            lambda cur, _m: drop_blocklisted(cur, blocklist_phrases),
+            barrier=False, count_key="after_blocklist")
 
     # 2. quality keep/drop
-    keep_ids = (quality_filter_report(cur)
-                .filter(F.col("keep")).select("doc_id"))
-    cur = cur.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
-    metrics["after_quality"] = cur.count()
+    def _quality_stage(cur, _m):
+        keep_ids = (quality_filter_report(cur)
+                    .filter(F.col("keep")).select("doc_id"))
+        return cur.join(keep_ids, "doc_id", "left_semi")
+    add("quality", _quality_stage, count_key="after_quality")
 
     # 2b. optional CCNet-style LM-perplexity tail drop: train on the
     # deterministic 1/lm_sample_mod doc sample of the survivors, score
     # everyone, cut the bottom quantile (tail tier)
-    if drop_lm_tail:
+    def _lm_tail_stage(cur, _m):
         counts = train_lm_counts(cur, sample_mod=lm_sample_mod)
         scored = perplexity_scores(cur, counts)
         keep = (quality_tiers(scored, tier_thresholds(scored))
                 .filter(F.col("tier") != "tail").select("doc_id"))
-        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
-        metrics["after_lm_tail"] = cur.count()
+        return cur.join(keep, "doc_id", "left_semi")
+    if drop_lm_tail:
+        add("lm_tail", _lm_tail_stage, count_key="after_lm_tail")
 
     # 2c. optional trained-model quality filter (linear classifier
     # weights trained in-engine, scored relationally here so the run
     # stays UDF-free; the score column is stage-internal)
     if quality_model is not None:
-        cur = (quality_filter(cur, quality_model,
-                              threshold_micro=quality_threshold)
-               .drop("quality_p").localCheckpoint())
-        metrics["after_model_quality"] = cur.count()
+        add("model_quality",
+            lambda cur, _m: (quality_filter(
+                cur, quality_model,
+                threshold_micro=quality_threshold).drop("quality_p")),
+            count_key="after_model_quality")
 
     # 3. near-dup dedup: canonical survivors only
-    canon = (dedup_groups(cur.select("doc_id", "text"),
-                          threshold=dedup_threshold)
-             .filter(F.col("is_canonical")).select("doc_id"))
-    cur = cur.join(canon, "doc_id", "left_semi").localCheckpoint()
-    metrics["after_dedup"] = cur.count()
+    def _dedup_stage(cur, _m):
+        canon = (dedup_groups(cur.select("doc_id", "text"),
+                              threshold=dedup_threshold)
+                 .filter(F.col("is_canonical")).select("doc_id"))
+        return cur.join(canon, "doc_id", "left_semi")
+    add("dedup", _dedup_stage, count_key="after_dedup")
 
     # 3b. optional semantic dedup over embeddings (two-level quantizer
     # path): restrict to the lexical survivors first so dropped docs
     # never claim canonical slots, then anti-join the non-canonicals —
     # docs WITHOUT an embedding row pass through untouched
-    if emb is not None:
+    def _semdedup_stage(cur, _m):
         alive = (emb.join(cur.select(F.col("doc_id").alias("vec_id")),
                           "vec_id", "left_semi"))
         # seed_by_hash: production doc ids need not contain the fixture
@@ -201,36 +302,95 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                                                   seed_by_hash=True)
                   .filter(~F.col("is_canonical"))
                   .select(F.col("vec_id").alias("doc_id")))
-        cur = cur.join(losers, "doc_id", "left_anti").localCheckpoint()
-        metrics["after_semdedup"] = cur.count()
+        return cur.join(losers, "doc_id", "left_anti")
+    if emb is not None:
+        add("semdedup", _semdedup_stage, count_key="after_semdedup")
 
     # 4. eval-set decontamination
     if bench is not None:
-        cur = decontaminate(cur, bench).localCheckpoint()
-        metrics["after_decontaminate"] = cur.count()
+        add("decontaminate",
+            lambda cur, _m: decontaminate(cur, bench),
+            count_key="after_decontaminate")
 
     # 4b. optional semantic decontamination: embedding-space eval
     # leaks (paraphrased/translated eval items the k-gram pass cannot
     # see).  The eval embeddings broadcast; the corpus side never
     # shuffles in the scoring join; docs without an embedding row pass
     # through untouched
-    if bench_emb is not None:
+    def _sem_decon_stage(cur, _m):
         alive = emb.join(cur.select(F.col("doc_id").alias("vec_id")),
                          "vec_id", "left_semi")
         # hit ids only — the report's per-doc aggregate (n_eval_hits,
         # max_cos) would be paid and immediately discarded here
         leaked = (semantic_hit_ids(alive, bench_emb)
                   .select(F.col("vec_id").alias("doc_id")))
-        cur = cur.join(leaked, "doc_id", "left_anti").localCheckpoint()
-        metrics["after_semantic_decontaminate"] = cur.count()
+        return cur.join(leaked, "doc_id", "left_anti")
+    if bench_emb is not None:
+        add("semantic_decontaminate", _sem_decon_stage,
+            count_key="after_semantic_decontaminate")
 
     # 5. domain mixing — Bernoulli rates or exact token budgets
     if weights is not None:
-        cur = domain_weighted_sample(cur, weights).localCheckpoint()
-        metrics["after_mixing"] = cur.count()
+        add("mix",
+            lambda cur, _m: domain_weighted_sample(cur, weights),
+            count_key="after_mixing")
     elif token_budgets is not None:
-        cur = token_budget_sample(cur, token_budgets).localCheckpoint()
-        metrics["after_mixing"] = cur.count()
+        add("mix",
+            lambda cur, _m: token_budget_sample(cur, token_budgets),
+            count_key="after_mixing")
+
+    # --- runner: resume from the longest committed stage prefix -------
+    ck = None
+    resume_idx = -1
+    if checkpoint_dir is not None:
+        config_fp = hashlib.md5(json.dumps({
+            "stages": [s[0] for s in stages],
+            "dedup_threshold": dedup_threshold,
+            "seq_len": seq_len,
+            "normalize": normalize,
+            "blocklist_phrases": blocklist_phrases,
+            "strip_boilerplate": strip_boilerplate,
+            "drop_lm_tail": drop_lm_tail,
+            "lm_sample_mod": lm_sample_mod,
+            "quality_threshold": quality_threshold,
+            "weights": weights,
+            "token_budgets": token_budgets,
+            "has_bench": bench is not None,
+            "has_emb": emb is not None,
+            "has_bench_emb": bench_emb is not None,
+            "has_quality_model": quality_model is not None,
+        }, sort_keys=True).encode()).hexdigest()
+        ck = _StageCheckpointer(spark, checkpoint_dir, config_fp, resume)
+        for i, (name, _fn, _b, _c) in enumerate(stages):
+            saved = ck.completed_metrics(name)
+            if saved is None:
+                break           # only a consecutive prefix is usable
+            resume_idx, metrics = i, dict(saved)
+
+    if resume_idx >= 0:
+        cur = ck.read(stages[resume_idx][0])
+        materialized = True
+    else:
+        metrics["input"] = docs.count()
+        cur = docs
+        materialized = False
+
+    for i, (name, fn, barrier, count_key) in enumerate(stages):
+        if i <= resume_idx:
+            continue
+        cur = fn(cur, materialized)
+        if ck is not None:
+            cur = ck.write_and_read(name, cur)
+            materialized = True
+        elif barrier:
+            cur = cur.localCheckpoint()
+            materialized = True
+        else:
+            materialized = False
+        if count_key is not None:
+            metrics[count_key] = cur.count()
+        if ck is not None:
+            ck.commit(name, metrics)
 
     # 6. pack
     manifest = pack_sequences(cur.select("doc_id", "text"), seq_len)
@@ -279,6 +439,13 @@ def main(argv=None) -> int:
                    help="control-char scrub + NFC pinning before scrub")
     p.add_argument("--blocklist", default=None,
                    help="text file of blocklist phrases, one per line")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage-checkpoint root: completed stages persist "
+                        "here and a re-run resumes after the last "
+                        "committed stage")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing stage checkpoints (forced full "
+                        "re-run; fresh checkpoints are still written)")
     args = p.parse_args(argv)
 
     from ocr_documents_spark.session import get_spark
@@ -305,7 +472,9 @@ def main(argv=None) -> int:
                                {k: int(v) for k, v in
                                 json.loads(args.token_budgets).items()}
                                if args.token_budgets else None),
-                           out_dir=args.out)
+                           out_dir=args.out,
+                           checkpoint_dir=args.checkpoint_dir,
+                           resume=not args.no_resume)
     print(json.dumps(metrics))
     spark.stop()
     return 0

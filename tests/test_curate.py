@@ -297,6 +297,82 @@ def test_token_budget_mixing_stage(spark):
     assert m["after_mixing"] == 1 + 1      # one-doc web prefix + books
 
 
+@pytest.fixture()
+def poisoned(spark):
+    """A corpus that CANNOT reproduce the module fixture's funnel: any
+    stage that re-reads its docs input instead of a checkpoint produces
+    input=1 and empty downstream counts — the re-execution detector."""
+    return spark.createDataFrame(
+        [(999, "tiny", "web")], "doc_id long, text string, source string")
+
+
+CK_ARGS = dict(weights={"web": 1.0, "books": 1.0}, seq_len=16)
+
+
+def test_checkpoint_resume_skips_every_completed_stage(
+        spark, corpus, bench, poisoned, tmp_path_factory):
+    """A checkpointed run reports the same funnel as a plain run; a
+    re-run against the same checkpoint_dir resumes from the committed
+    stages and never re-executes them — proven by handing the resume a
+    poisoned docs input that would change every count if any pre-pack
+    stage ran."""
+    ckdir = str(tmp_path_factory.mktemp("curate_ck"))
+    m_plain = run_curation(spark, corpus, bench=bench, **CK_ARGS)
+    m1 = run_curation(spark, corpus, bench=bench,
+                      checkpoint_dir=ckdir, **CK_ARGS)
+    assert m1 == m_plain
+    m2 = run_curation(spark, poisoned, bench=bench,
+                      checkpoint_dir=ckdir, **CK_ARGS)
+    assert m2 == m1
+
+
+def test_checkpoint_partial_resume_recomputes_only_the_tail(
+        spark, corpus, bench, poisoned, tmp_path_factory):
+    """Only a consecutive committed PREFIX resumes: with the dedup-
+    onward commit markers gone (the crash-mid-stage shape), the re-run
+    restores scrub+quality from their checkpoints (poisoned docs are
+    never touched) and recomputes dedup/decontaminate/mix from the
+    quality survivors, landing on the original funnel."""
+    import shutil
+
+    ckdir = str(tmp_path_factory.mktemp("curate_ck_partial"))
+    m1 = run_curation(spark, corpus, bench=bench,
+                      checkpoint_dir=ckdir, **CK_ARGS)
+    for name in ("dedup", "decontaminate", "mix"):
+        shutil.rmtree(f"{ckdir}/meta_{name}")
+    m3 = run_curation(spark, poisoned, bench=bench,
+                      checkpoint_dir=ckdir, **CK_ARGS)
+    assert m3 == m1
+
+
+def test_checkpoint_config_change_invalidates(
+        spark, corpus, bench, poisoned, tmp_path_factory):
+    """Any knob that alters a stage's output flips the config
+    fingerprint: the resume is refused wholesale and the run recomputes
+    from its actual docs input (here: the poisoned one-doc corpus), so
+    a changed pipeline can never silently serve another config's
+    checkpoints.  resume=False forces the same full re-run even with
+    matching config."""
+    ck_cfg = str(tmp_path_factory.mktemp("curate_ck_cfg"))
+    m1 = run_curation(spark, corpus, bench=bench,
+                      checkpoint_dir=ck_cfg, **CK_ARGS)
+    assert m1["input"] == 7
+    m_cfg = run_curation(spark, poisoned, bench=bench,
+                         checkpoint_dir=ck_cfg, dedup_threshold=0.5,
+                         **CK_ARGS)
+    assert m_cfg["input"] == 1
+    # resume=False against checkpoints whose fingerprint DOES match —
+    # the flag alone must force the full re-run (fresh dir so the
+    # config-change run above can't be what invalidated them)
+    ck_force = str(tmp_path_factory.mktemp("curate_ck_force"))
+    assert run_curation(spark, corpus, bench=bench,
+                        checkpoint_dir=ck_force, **CK_ARGS)["input"] == 7
+    m_force = run_curation(spark, poisoned, bench=bench,
+                           checkpoint_dir=ck_force, resume=False,
+                           **CK_ARGS)
+    assert m_force["input"] == 1
+
+
 def test_conflicting_samplers_rejected(spark):
     docs = spark.createDataFrame([(0, GOOD, "web")],
                                  "doc_id long, text string, source string")
