@@ -143,6 +143,8 @@ def main() -> None:
         train_lm_counts)
     from ocr_documents_spark.operators.pq import (build_ivfpq_index,
                                                   ivfpq_query, ivfpq_topk)
+    from ocr_documents_spark.operators.ivf import (sub_k_for,
+                                                   train_two_level)
     from ocr_documents_spark.operators.semdedup import (
         semantic_dedup_groups, semantic_dedup_groups_two_level)
     from ocr_documents_spark.operators.substring_dedup import \
@@ -175,6 +177,12 @@ def main() -> None:
         "semdedup": lambda: semantic_dedup_groups(emb_tbl),
         "semdedup_two_level": lambda: semantic_dedup_groups_two_level(
             emb_tbl),
+        # steady-state semantic dedup: codebooks trained once outside
+        # the timer (encode-daily/retrain-on-drift, like ivfpq_query);
+        # the recurring cost is assignment + within-cell pairing + CC
+        "semdedup_assign": (lambda cbs=train_two_level(
+            emb_tbl, sub_k_for(emb_tbl.count())):
+            semantic_dedup_groups_two_level(emb_tbl, codebooks=cbs)),
         "ivfpq_topk": lambda: ivfpq_topk(
             emb_tbl, F.col("vec_id") < 5, F.col("vec_id") >= 5),
         # steady-state production ANN: index built once outside the

@@ -119,8 +119,9 @@ def semantic_dedup_groups_two_level(emb: DataFrame,
                                     sample_mod: int = TRAIN_SAMPLE_MOD,
                                     avg_cell_size: int = AVG_CELL_SIZE,
                                     seed_by_hash: bool = False,
-                                    cc_telemetry: dict | None = None
-                                    ) -> DataFrame:
+                                    cc_telemetry: dict | None = None,
+                                    codebooks: (tuple[DataFrame, DataFrame]
+                                                | None) = None) -> DataFrame:
     """The corpus-growth-safe SemDeDup: same contract as
     :func:`semantic_dedup_groups`, but candidate pairs come from a
     self-join on the TWO-LEVEL fine cell (coarse route + keyed per-cell
@@ -132,23 +133,29 @@ def semantic_dedup_groups_two_level(emb: DataFrame,
     Pass ``seed_by_hash=True`` for corpora whose id space does not
     contain the fixture INIT_IDS (e.g. arbitrary production ids) —
     seeds are then the k smallest md5(vec_id) vectors, so the codebook
-    can never silently shrink to fewer cells."""
-    # coarse k follows occupancy too on the hash-seeded path: a tiny
-    # corpus must not get one cell per document (k ~= n makes every
-    # near-dup pair straddle a boundary and the dedup no-ops)
-    k_coarse = K_CELLS
-    if sub_k is None or seed_by_hash:
-        n = emb.count()
-        if seed_by_hash:
-            k_coarse = max(1, min(K_CELLS,
-                                  -(-n // avg_cell_size)))  # ceil div
-        if sub_k is None:
-            sub_k = sub_k_for(n, k_coarse, avg_cell_size)
-    cent, sub_cent = train_two_level(emb, sub_k, iters=iters,
-                                     sub_iters=sub_iters,
-                                     sample_mod=sample_mod,
-                                     seed_by_hash=seed_by_hash,
-                                     k=k_coarse)
+    can never silently shrink to fewer cells.  ``codebooks=(cent,
+    sub_cent)`` reuses a trained pair (the encode-daily/retrain-on-
+    drift serving split — assignment + pairing + components are the
+    recurring cost, Lloyd's is not)."""
+    if codebooks is not None:
+        cent, sub_cent = codebooks
+    else:
+        # coarse k follows occupancy too on the hash-seeded path: a tiny
+        # corpus must not get one cell per document (k ~= n makes every
+        # near-dup pair straddle a boundary and the dedup no-ops)
+        k_coarse = K_CELLS
+        if sub_k is None or seed_by_hash:
+            n = emb.count()
+            if seed_by_hash:
+                k_coarse = max(1, min(K_CELLS,
+                                      -(-n // avg_cell_size)))  # ceil div
+            if sub_k is None:
+                sub_k = sub_k_for(n, k_coarse, avg_cell_size)
+        cent, sub_cent = train_two_level(emb, sub_k, iters=iters,
+                                         sub_iters=sub_iters,
+                                         sample_mod=sample_mod,
+                                         seed_by_hash=seed_by_hash,
+                                         k=k_coarse)
     assigned = assign_two_level(emb, cent, sub_cent)
     pairs = _pairs_within(assigned, ["cell", "sub"], threshold)
     return _groups_from_pairs(emb, pairs, cc_telemetry)

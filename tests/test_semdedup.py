@@ -162,6 +162,20 @@ def test_injected_codebook_reused_not_retrained(emb):
     assert injected == default
 
 
+def test_injected_two_level_codebooks_reused_not_retrained(emb):
+    """codebooks= on the two-level path (the steady-state serving
+    split bench.py times as semdedup_assign): a (cent, sub_cent) pair
+    trained up front must yield the identical grouping to the
+    self-trained call with the same sub_k."""
+    from ocr_documents_spark.operators.ivf import train_two_level
+    cbs = train_two_level(emb, sub_k=4)
+    default = sorted(tuple(r) for r in SM.semantic_dedup_groups_two_level(
+        emb, sub_k=4).collect())
+    injected = sorted(tuple(r) for r in SM.semantic_dedup_groups_two_level(
+        emb, codebooks=cbs).collect())
+    assert injected == default
+
+
 def test_hash_seeded_path_works_on_foreign_id_space(spark):
     """Production corpora need not contain the fixture seed ids: on a
     corpus whose every vec_id is shifted by 10^9 (so INIT_IDS match
