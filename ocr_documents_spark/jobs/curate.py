@@ -181,14 +181,25 @@ def run_curation(spark: SparkSession, docs: DataFrame,
                  token_budgets: dict[str, int] | None = None,
                  out_dir: str | None = None,
                  checkpoint_dir: str | None = None,
-                 resume: bool = True) -> dict:
+                 resume: bool = True,
+                 audit_dir: str | None = None) -> dict:
     """docs(doc_id, text[, source]) -> funnel metrics dict; when
     ``out_dir`` is set, writes ``corpus`` (the surviving cleaned docs)
     and ``manifest`` (the packed-sequence table) under it.  With
     ``checkpoint_dir`` every completed stage persists its survivors +
     funnel metrics and a re-run resumes after the last committed stage
     (module docstring: Resumability); ``resume=False`` keeps writing
-    checkpoints but ignores existing ones (forced full re-run)."""
+    checkpoints but ignores existing ones (forced full re-run).
+
+    ``audit_dir`` writes the per-document drop trail: every DROPPING
+    stage persists the doc_ids it removed under
+    ``{audit_dir}/stage={name}`` (one extra anti-join per stage, paid
+    only when asked), so "which stage dropped this document" is a
+    partition-pruned point lookup instead of a funnel re-run — the
+    counts answer how many, the audit answers WHICH.  A stage that
+    dropped nothing may be absent from the table (no data files).
+    Rewriting stages (normalize/scrub/line_strip) never drop docs and
+    are not audited."""
     if weights is not None and token_budgets is not None:
         raise ValueError(
             "pass either weights= (Bernoulli keep-rates) or "
@@ -378,6 +389,7 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     for i, (name, fn, barrier, count_key) in enumerate(stages):
         if i <= resume_idx:
             continue
+        prev = cur
         cur = fn(cur, materialized)
         if ck is not None:
             cur = ck.write_and_read(name, cur)
@@ -389,6 +401,13 @@ def run_curation(spark: SparkSession, docs: DataFrame,
             materialized = False
         if count_key is not None:
             metrics[count_key] = cur.count()
+            if audit_dir is not None:
+                # drop trail: stages with a funnel count are exactly the
+                # stages that can remove documents
+                (prev.select("doc_id")
+                 .join(cur.select("doc_id"), "doc_id", "left_anti")
+                 .write.mode("overwrite")
+                 .parquet(f"{audit_dir}/stage={name}"))
         if ck is not None:
             ck.commit(name, metrics)
 
@@ -446,6 +465,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing stage checkpoints (forced full "
                         "re-run; fresh checkpoints are still written)")
+    p.add_argument("--audit-dir", default=None,
+                   help="per-document drop trail: each dropping stage "
+                        "writes its removed doc_ids under "
+                        "{audit_dir}/stage={name}")
     args = p.parse_args(argv)
 
     from ocr_documents_spark.session import get_spark
@@ -474,7 +497,8 @@ def main(argv=None) -> int:
                                if args.token_budgets else None),
                            out_dir=args.out,
                            checkpoint_dir=args.checkpoint_dir,
-                           resume=not args.no_resume)
+                           resume=not args.no_resume,
+                           audit_dir=args.audit_dir)
     print(json.dumps(metrics))
     spark.stop()
     return 0

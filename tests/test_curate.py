@@ -373,6 +373,24 @@ def test_checkpoint_config_change_invalidates(
     assert m_force["input"] == 1
 
 
+def test_drop_audit_records_which_stage_dropped_each_doc(
+        spark, corpus, bench, tmp_path_factory):
+    """audit_dir= writes the per-document drop trail: the engineered
+    corpus has a fully known disposition (doc 3 fails quality, doc 1 is
+    the non-canonical near-dup, doc 5 is contaminated, doc 6's domain
+    is weighted out), every dropped doc appears under exactly its
+    dropping stage, and survivors appear nowhere."""
+    audit = str(tmp_path_factory.mktemp("curate_audit"))
+    m = run_curation(spark, corpus, bench=bench, audit_dir=audit,
+                     **CK_ARGS)
+    trail = {(r["stage"], r["doc_id"])
+             for r in spark.read.parquet(audit).collect()}
+    assert trail == {("quality", 3), ("dedup", 1),
+                     ("decontaminate", 5), ("mix", 6)}
+    # audit is observational: the funnel is unchanged by recording it
+    assert m == run_curation(spark, corpus, bench=bench, **CK_ARGS)
+
+
 def test_conflicting_samplers_rejected(spark):
     docs = spark.createDataFrame([(0, GOOD, "web")],
                                  "doc_id long, text string, source string")
