@@ -199,7 +199,9 @@ def run_curation(spark: SparkSession, docs: DataFrame,
     counts answer how many, the audit answers WHICH.  A stage that
     dropped nothing may be absent from the table (no data files).
     Rewriting stages (normalize/scrub/line_strip) never drop docs and
-    are not audited."""
+    are not audited.  Each run overwrites its stages' partitions; use a
+    fresh audit_dir when changing the stage CONFIGURATION, since a
+    stage removed from the pipeline leaves its old partition behind."""
     if weights is not None and token_budgets is not None:
         raise ValueError(
             "pass either weights= (Bernoulli keep-rates) or "
