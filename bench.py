@@ -165,6 +165,7 @@ def main() -> None:
     from ocr_documents_spark.operators.semantic_decontaminate import (
         semantic_decontaminate)
     from ocr_documents_spark.operators.urls import cap_per_host
+    from ocr_documents_spark.operators.graph import pagerank
 
     tbl = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
     bench_docs = tbl("documents").select("doc_id", "text")
@@ -249,6 +250,14 @@ def main() -> None:
                          F.lit(".example.com/doc/"), F.col("doc_id"),
                          F.lit("?v=1&utm_source=bench")).alias("url")),
             cap=100),
+        # synthetic host graph at the tier's document count: ~1k hosts,
+        # one out-link per doc (a web host graph is node-small relative
+        # to the corpus; the rank job's cost is the iteration loop)
+        "host_pagerank": lambda: pagerank(
+            tbl("documents").select(
+                F.concat(F.lit("h"), F.col("doc_id") % 997).alias("src"),
+                F.concat(F.lit("h"),
+                         (F.col("doc_id") * 31 + 7) % 997).alias("dst"))),
         "dsir_select": lambda: dsir_select(
             bench_docs,
             train_lm_counts(tbl("documents")
