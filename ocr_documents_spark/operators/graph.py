@@ -55,6 +55,16 @@ def pagerank(edges: DataFrame, iters: int = ITERS,
     the conventional [0, 1] score); fixed ``iters`` rounds, no
     convergence test — the twin unrolls the same count.
     """
+    # host ids must be string/integer typed: a DOUBLE renders differently
+    # per engine (Spark "1.0E7" vs DuckDB "10000000.0"), splitting one
+    # node into two keys cross-engine — refuse rather than diverge
+    types = dict(edges.dtypes)
+    for c in (src_col, dst_col):
+        if types.get(c) in ("float", "double"):
+            raise TypeError(
+                f"pagerank: column {c!r} is {types[c]} — floating-point "
+                "host ids stringify differently across engines; cast to "
+                "string or integer first")
     e = (edges.select(F.col(src_col).cast("string").alias("src"),
                       F.col(dst_col).cast("string").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -96,7 +106,13 @@ def join_host_rank(docs: DataFrame, ranks: DataFrame,
                    host_col: str = "site") -> DataFrame:
     """Documents pick up their host's authority (broadcast join — the
     rank table is node-sized): appends ``rank_micro`` (0 for hosts
-    outside the graph)."""
+    outside the graph).  Refuses a docs frame that already carries a
+    ``rank_micro`` column — silently overwriting it would mask a caller
+    bug (double-join, stale scores)."""
+    if "rank_micro" in docs.columns:
+        raise ValueError(
+            "join_host_rank: docs already has a rank_micro column — "
+            "drop or rename it before re-joining host ranks")
     r = ranks.select(F.col("node").alias(host_col), "rank_micro")
     return (docs.join(F.broadcast(r), host_col, "left")
             .withColumn("rank_micro",
@@ -111,7 +127,7 @@ def duckdb_pagerank_sql(edges_sql: str, iters: int = ITERS,
                         damping_pct: int = DAMPING_PCT) -> str:
     """Exact SQL twin of :func:`pagerank`.  ``edges_sql`` must select
     (src, dst); output is (node, rank_micro)."""
-    init = f"({10**12} // (SELECT count(*) FROM nodes))"
+    init = f"({SCALE} // (SELECT count(*) FROM nodes))"
     base = f"(({100 - damping_pct} * {init}) // 100)"
     parts = [f"""e AS (
             SELECT DISTINCT CAST(src AS VARCHAR) AS src,

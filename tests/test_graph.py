@@ -62,8 +62,16 @@ def test_authority_ordering_and_dangling(spark):
     assert set(got) == {"a", "b", "c", "sink"}
     assert got["a"] == got["b"] == got["c"]
     assert got["sink"] > got["a"]
-    # dangling sink leaks: total mass strictly below the initial SCALE
-    assert sum(got.values()) < G.SCALE
+    # dangling-leak semantics pinned against a CLOSED control graph
+    # (sink->a closes the cycle): floor-division rounding alone cannot
+    # satisfy this — the dangling variant must retain strictly less
+    # total mass than the same graph with the sink's out-edge added
+    closed = spark.createDataFrame(edges + [("sink", "a")],
+                                   "src string, dst string")
+    got_closed = {r["node"]: r["rank_micro"]
+                  for r in G.pagerank(closed).collect()}
+    assert sum(got.values()) < sum(got_closed.values())
+    assert sum(got_closed.values()) <= G.SCALE
 
 
 def test_duplicate_edges_collapse(spark):
@@ -97,3 +105,25 @@ def test_empty_edges_raise(spark):
     df = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty edge set"):
         G.pagerank(df)
+
+
+def test_float_host_ids_refused(spark):
+    # DOUBLE host ids stringify differently per engine (1.0E7 vs
+    # 10000000.0) — the operator must refuse, not silently diverge
+    df = spark.createDataFrame([(1.0, 2.0)], "src double, dst double")
+    with pytest.raises(TypeError, match="floating-point"):
+        G.pagerank(df)
+    # integer ids are fine (both engines render them identically)
+    ok = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    got = {r["node"] for r in G.pagerank(ok, iters=1).collect()}
+    assert got == {"1", "2"}
+
+
+def test_join_host_rank_refuses_conflicting_column(spark):
+    ranks = G.pagerank(
+        spark.createDataFrame([("a.com", "b.com"), ("b.com", "a.com")],
+                              "src string, dst string"), iters=1)
+    docs = spark.createDataFrame(
+        [(1, "a.com", 7)], "doc_id int, site string, rank_micro long")
+    with pytest.raises(ValueError, match="already has a rank_micro"):
+        G.join_host_rank(docs, ranks)
