@@ -48,6 +48,21 @@ BANDS = 4
 JACCARD_THRESHOLD = 0.7
 SHINGLE_N = 3
 
+# Hot-bucket guard (r4 verdict, "What's wrong #1"): a band bucket wider
+# than this emits STAR pairs (every member against the bucket's min
+# doc_id anchor, O(width)) instead of all-pairs (O(width^2)).  A bucket
+# only ever gets this wide from a mass of (near-)identical documents —
+# 30–50% of a real crawl — or, for short SimHash chunks, sheer corpus
+# size; either way the full self-join is quadratic DATA skew that AQE
+# cannot split.  Star edges preserve connectivity (members reach each
+# other through the anchor in connected components) at the cost of
+# per-pair verification fidelity inside the oversized bucket: a pair
+# both ~0.7-similar to each other but <0.7 to the anchor may no longer
+# verify — acceptable, because exact duplicates are ALREADY collapsed
+# before banding (see exact_classes), so a >1000-wide residual bucket
+# is pathological input, not normal data.
+BUCKET_CAP = 1000
+
 # Min-wise hash family (MMDS ch. 3.3.6): ONE base hash per shingle
 # (first 15 md5 hex digits -> x < 2^60), then n_hashes universal-hash
 # permutations h_j(x) = (a_j*x + b_j) mod p over a Mersenne prime.
@@ -218,7 +233,37 @@ def estimated_jaccard(a_sig, b_sig):
     return F.round(matches.cast("double") / F.size(a_sig), 4) + 0.0
 
 
-def candidate_pairs(sig: DataFrame, bands: int = BANDS) -> DataFrame:
+def exact_classes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate classes: -> (doc_id, rep_id) where ``rep_id`` is
+    the min doc_id among all docs whose WHITESPACE-NORMALIZED word
+    sequence is byte-identical (fingerprint15 over the single-space
+    rejoin of :func:`words_col` — exactly the equivalence the shingle
+    pipeline cannot tell apart: equal word sequences give equal shingle
+    sets, identical signatures, Jaccard 1.0).
+
+    This is the r4-verdict pre-collapse: exact duplicates are 30–50% of
+    a real crawl, and an m-member identical cluster lands whole in EVERY
+    band bucket — the band self-join would emit ~bands*m^2/2 candidate
+    pairs (2*10^12 from one 10^6-view viral page) before any distinct.
+    Collapsing to one representative per class FIRST makes the candidate
+    stage see each distinct content once; class members rejoin the
+    result as O(m) star edges (see :func:`verified_pairs`).
+
+    One shuffle (window over the fingerprint); NULL text normalizes to
+    the empty string, so NULL and "" share a class on both engines.
+    """
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "")
+    fp = fingerprint15(F.concat_ws(" ", words))
+    w = Window.partitionBy("fp")
+    return (docs.select("doc_id", fp.alias("fp"))
+            .withColumn("rep_id", F.min("doc_id").over(w))
+            .select("doc_id", "rep_id"))
+
+
+def candidate_pairs(sig: DataFrame, bands: int = BANDS,
+                    bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
     """LSH bucket join: docs sharing ANY band -> (a_doc_id, b_doc_id).
 
     The band table is built with ONE posexplode over an array of the band
@@ -228,14 +273,42 @@ def candidate_pairs(sig: DataFrame, bands: int = BANDS) -> DataFrame:
     LSH *index build* — at production scale the banded table persists as
     its own bucketed table (band is the shuffle key), and the self-join
     reads it twice without re-hashing the corpus.
+
+    ``bucket_cap`` is the hot-bucket guard (see :data:`BUCKET_CAP`):
+    buckets wider than the cap contribute (anchor, member) STAR pairs —
+    O(width) — instead of the full O(width^2) self-join; the anchor is
+    the bucket's min doc_id, so star pairs always satisfy a < b.  The
+    width census rides a window over the SAME (band_idx, band) key the
+    join shuffles on — no extra exchange shape.  ``None`` disables the
+    guard (the uncapped all-pairs oracle shape).
     """
-    stacked = band_index(sig, bands).localCheckpoint()
-    a = stacked.select(F.col("doc_id").alias("a_doc_id"), "band_idx", "band")
-    b = stacked.select(F.col("doc_id").alias("b_doc_id"), "band_idx", "band")
-    return (a.join(b, ["band_idx", "band"])
+    stacked = band_index(sig, bands)
+    if bucket_cap is None:
+        stacked = stacked.localCheckpoint()
+        a = stacked.select(F.col("doc_id").alias("a_doc_id"),
+                           "band_idx", "band")
+        b = stacked.select(F.col("doc_id").alias("b_doc_id"),
+                           "band_idx", "band")
+        return (a.join(b, ["band_idx", "band"])
+                .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+                .select("a_doc_id", "b_doc_id")
+                .distinct())
+    w = Window.partitionBy("band_idx", "band")
+    st = (stacked
+          .withColumn("bn", F.count(F.lit(1)).over(w))
+          .withColumn("anchor", F.min("doc_id").over(w))
+          .localCheckpoint())   # consumed three times below
+    small = st.filter(F.col("bn") <= bucket_cap)
+    a = small.select(F.col("doc_id").alias("a_doc_id"), "band_idx", "band")
+    b = small.select(F.col("doc_id").alias("b_doc_id"), "band_idx", "band")
+    full = (a.join(b, ["band_idx", "band"])
             .filter(F.col("a_doc_id") < F.col("b_doc_id"))
-            .select("a_doc_id", "b_doc_id")
-            .distinct())
+            .select("a_doc_id", "b_doc_id"))
+    star = (st.filter((F.col("bn") > bucket_cap)
+                      & (F.col("doc_id") != F.col("anchor")))
+            .select(F.col("anchor").alias("a_doc_id"),
+                    F.col("doc_id").alias("b_doc_id")))
+    return full.unionByName(star).distinct()
 
 
 def band_index(sig: DataFrame, bands: int = BANDS) -> DataFrame:
@@ -308,20 +381,36 @@ def incremental_candidates(new_docs: DataFrame | None, index: DataFrame,
 
 def verified_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
                    bands: int = BANDS, shingle_n: int = SHINGLE_N,
-                   threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+                   threshold: float = JACCARD_THRESHOLD,
+                   bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
     """TRUE Jaccard (distinct word n-grams) computed on LSH candidates ONLY
     -> (a_doc_id, b_doc_id, jaccard).  Fixes the r1 all-n-grams join: the
     join key here is the band, so no hot-token quadratic blowup; exact
     set-overlap work is confined to docs that are in some candidate pair.
+
+    Exact duplicates are collapsed FIRST (:func:`exact_classes`): the
+    whole signature/band/verify pipeline runs over one REPRESENTATIVE
+    per exact-content class, and class members rejoin the output as
+    (rep_id, member_id, 1.0) STAR edges — O(m) per m-member class where
+    the r4 shape emitted O(m^2) all-pairs through every band bucket.
+    Near-dup edges therefore connect representatives only; connected
+    components over the union reach every member exactly as before.
+    (The one semantic change: identical docs TOO SHORT to shingle now
+    pair via their star edge — byte-identical content is a duplicate
+    regardless of length; the r4 shape left them singletons.)
     """
+    classes = exact_classes(docs).localCheckpoint()
+    reps = docs.join(
+        classes.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id", "left_semi")
     # materialize the candidate-pair table: it is tiny (near-dup pairs) but
     # its DAG contains the full signature computation, and it is consumed
     # THREE times below (xa join, and both branches of cand_docs) — without
     # the checkpoint Spark re-hashes the whole corpus once per consumer
     cand = candidate_pairs(
-        minhash_signatures(docs, n_hashes, bands, shingle_n),
-        bands).localCheckpoint()
-    sh = (shingled_docs(docs, shingle_n)
+        minhash_signatures(reps, n_hashes, bands, shingle_n),
+        bands, bucket_cap).localCheckpoint()
+    sh = (shingled_docs(reps, shingle_n)
           .select("doc_id", F.explode(F.array_distinct("shingles"))
                   .alias("shingle")))
     cand_docs = (cand.select(F.col("a_doc_id").alias("doc_id"))
@@ -340,13 +429,18 @@ def verified_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("a_doc_id"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("b_doc_id"), F.col("sz").alias("sb"))
-    return (inter.join(sa, "a_doc_id").join(sb, "b_doc_id")
+    near = (inter.join(sa, "a_doc_id").join(sb, "b_doc_id")
             .withColumn("jaccard",
                         F.round(F.col("inter")
                                 / (F.col("sa") + F.col("sb") - F.col("inter")),
                                 4))
             .filter(F.col("jaccard") >= threshold)
             .select("a_doc_id", "b_doc_id", "jaccard"))
+    star = (classes.filter(F.col("doc_id") != F.col("rep_id"))
+            .select(F.col("rep_id").alias("a_doc_id"),
+                    F.col("doc_id").alias("b_doc_id"),
+                    F.lit(1.0).alias("jaccard")))
+    return near.unionByName(star)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
@@ -416,7 +510,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 def dedup_groups(docs: DataFrame, n_hashes: int = N_HASHES,
                  bands: int = BANDS, shingle_n: int = SHINGLE_N,
                  threshold: float = JACCARD_THRESHOLD,
-                 cc_telemetry: dict | None = None) -> DataFrame:
+                 cc_telemetry: dict | None = None,
+                 bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
     """The deliverable: every document labeled with its near-dup group.
 
     -> (doc_id, group_id, group_size, is_canonical) over ALL input docs;
@@ -424,8 +519,15 @@ def dedup_groups(docs: DataFrame, n_hashes: int = N_HASHES,
     docs are their own group), is_canonical marks the doc a dedup pass
     KEEPS (the rest carry the drop decision + provenance).
     ``cc_telemetry`` forwards to :func:`connected_components`.
+
+    Exact duplicates never reach the band self-join: the edge set from
+    :func:`verified_pairs` carries one (rep, member, 1.0) star edge per
+    class member, so connected components fan group membership back out
+    — group_id is still the min doc_id over ALL members because each
+    representative IS its class minimum.
     """
-    edges = verified_pairs(docs, n_hashes, bands, shingle_n, threshold)
+    edges = verified_pairs(docs, n_hashes, bands, shingle_n, threshold,
+                           bucket_cap)
     comp = connected_components(edges, telemetry=cc_telemetry)
     labeled = (docs.select("doc_id")
                .join(comp, "doc_id", "left")
@@ -442,9 +544,29 @@ def dedup_groups(docs: DataFrame, n_hashes: int = N_HASHES,
 # DuckDB oracle builders (same math, string SQL)
 # ---------------------------------------------------------------------------
 
-def duckdb_shingle_cte(shingle_n: int = SHINGLE_N) -> str:
-    """CTEs: documents -> shd(doc_id, shingle, x) distinct word n-grams
-    with the 32-bit base hash."""
+def duckdb_exact_classes_cte(source: str = "documents") -> str:
+    """CTEs ``cls(doc_id, rep_id)`` + ``rdocs`` (representatives only) —
+    the exact twin of :func:`exact_classes`: fingerprint15 over the
+    single-space rejoin of the non-empty words, min doc_id per class.
+    NULL text coalesces to '' on both engines."""
+    norm = ("array_to_string(list_filter("
+            "string_split(coalesce(text, ''), ' '), w -> w <> ''), ' ')")
+    return f"""cls AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (
+                       PARTITION BY substr(md5({norm}), 1, 15)) AS rep_id
+            FROM {source}
+        ), rdocs AS (
+            SELECT d.* FROM {source} d
+            JOIN (SELECT doc_id FROM cls WHERE doc_id = rep_id) r
+            USING (doc_id)
+        )"""
+
+
+def duckdb_shingle_cte(shingle_n: int = SHINGLE_N,
+                       source: str = "documents") -> str:
+    """CTEs: ``source`` -> shd(doc_id, shingle, x) distinct word n-grams
+    with the 60-bit base hash."""
     leads = " || ' ' || ".join(
         ["word"] + [f"lead(word, {j}) OVER w" for j in range(1, shingle_n)])
     return f"""
@@ -452,7 +574,7 @@ def duckdb_shingle_cte(shingle_n: int = SHINGLE_N) -> str:
             SELECT doc_id,
                    unnest(string_split(text, ' ')) AS word,
                    generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
+            FROM {source}
         ), sh AS (
             SELECT doc_id, {leads} AS shingle
             FROM toks WHERE word <> ''
@@ -489,8 +611,13 @@ def duckdb_signature_select(n_hashes: int = N_HASHES,
 
 def duckdb_candidates_cte(n_hashes: int = N_HASHES,
                           bands: int = BANDS,
-                          shingle_n: int = SHINGLE_N) -> str:
-    """CTE chain ending in cand(a_doc_id, b_doc_id)."""
+                          shingle_n: int = SHINGLE_N,
+                          bucket_cap: int | None = BUCKET_CAP,
+                          collapse: bool = False) -> str:
+    """CTE chain ending in cand(a_doc_id, b_doc_id) — exact twin of
+    :func:`candidate_pairs` incl. the hot-bucket star guard; with
+    ``collapse=True`` the pipeline runs over exact-class representatives
+    (the :func:`verified_pairs` / :func:`dedup_groups` shape)."""
     hashes, _ = duckdb_signature_select(n_hashes, bands)
     rows = n_hashes // bands
     band_union = "\n            UNION ALL\n            ".join(
@@ -499,24 +626,51 @@ def duckdb_candidates_cte(n_hashes: int = N_HASHES,
                              for r in range(rows))
         + ") AS band FROM sig"
         for k in range(bands))
-    return f"""{duckdb_shingle_cte(shingle_n)},
-        sig AS (
-            SELECT doc_id, {hashes} FROM shd GROUP BY doc_id
-        ), bands AS (
-            {band_union}
-        ), cand AS (
+    prefix = (f"{duckdb_exact_classes_cte()},{duckdb_shingle_cte(shingle_n, 'rdocs')}"
+              if collapse else duckdb_shingle_cte(shingle_n))
+    if bucket_cap is None:
+        cand = """cand AS (
             SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_idx = b.band_idx
              AND a.doc_id < b.doc_id
         )"""
+    else:
+        cand = f"""bstat AS (
+            SELECT doc_id, band_idx, band,
+                   count(*) OVER (PARTITION BY band_idx, band) AS bn,
+                   min(doc_id) OVER (PARTITION BY band_idx, band) AS anchor
+            FROM bands
+        ), cand AS (
+            SELECT DISTINCT a_doc_id, b_doc_id FROM (
+                SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+                FROM bstat a JOIN bstat b
+                  ON a.band = b.band AND a.band_idx = b.band_idx
+                 AND a.doc_id < b.doc_id
+                WHERE a.bn <= {bucket_cap}
+                UNION ALL
+                SELECT anchor AS a_doc_id, doc_id AS b_doc_id
+                FROM bstat WHERE bn > {bucket_cap} AND doc_id <> anchor
+            )
+        )"""
+    return f"""{prefix},
+        sig AS (
+            SELECT doc_id, {hashes} FROM shd GROUP BY doc_id
+        ), bands AS (
+            {band_union}
+        ), {cand}"""
 
 
 def duckdb_verified_cte(n_hashes: int = N_HASHES, bands: int = BANDS,
                         shingle_n: int = SHINGLE_N,
-                        threshold: float = JACCARD_THRESHOLD) -> str:
-    """CTE chain ending in verified(a_doc_id, b_doc_id, jaccard)."""
-    return f"""{duckdb_candidates_cte(n_hashes, bands, shingle_n)},
+                        threshold: float = JACCARD_THRESHOLD,
+                        bucket_cap: int | None = BUCKET_CAP) -> str:
+    """CTE chain ending in verified(a_doc_id, b_doc_id, jaccard) — exact
+    twin of :func:`verified_pairs`: the shingle/band/verify pipeline
+    runs over exact-class representatives, and class members rejoin as
+    (rep_id, member_id, 1.0) star edges."""
+    return f"""{duckdb_candidates_cte(n_hashes, bands, shingle_n,
+                                      bucket_cap, collapse=True)},
         sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
         inter AS (
             SELECT c.a_doc_id, c.b_doc_id, count(*) AS i
@@ -532,17 +686,25 @@ def duckdb_verified_cte(n_hashes: int = N_HASHES, bands: int = BANDS,
             JOIN sizes sa ON sa.doc_id = a_doc_id
             JOIN sizes sb ON sb.doc_id = b_doc_id
             WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= {threshold}
+            UNION ALL
+            SELECT rep_id AS a_doc_id, doc_id AS b_doc_id,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM cls WHERE doc_id <> rep_id
         )"""
 
 
 def duckdb_dedup_groups_sql(n_hashes: int = N_HASHES, bands: int = BANDS,
                             shingle_n: int = SHINGLE_N,
-                            threshold: float = JACCARD_THRESHOLD) -> str:
+                            threshold: float = JACCARD_THRESHOLD,
+                            bucket_cap: int | None = BUCKET_CAP) -> str:
     """Full oracle: connected components via recursive transitive closure
     (sound here because verified edge sets are tiny; the Spark side uses
-    label propagation for the same answer at scale)."""
+    label propagation for the same answer at scale).  Exact-class star
+    edges ride the verified CTE, so member fan-out happens inside the
+    closure exactly as Spark's connected components do it."""
     return f"""
-        WITH RECURSIVE {duckdb_verified_cte(n_hashes, bands, shingle_n, threshold)},
+        WITH RECURSIVE {duckdb_verified_cte(n_hashes, bands, shingle_n,
+                                            threshold, bucket_cap)},
         und AS (
             SELECT a_doc_id AS s, b_doc_id AS d FROM verified
             UNION

@@ -583,35 +583,67 @@ def q38_simhash_neardup(spark, sf_dir):
     of 15 bits (pigeonhole: any pair within Hamming distance 3 shares at
     least one chunk), bucket-join on (band_idx, chunk), verify with exact
     bit_count(XOR) <= 3.  Same no-all-pairs shape as the MinHash path:
-    the chunk is the only join key."""
+    the chunk is the only join key.
+
+    Same r5 hardening as operators/dedup: exact-duplicate classes
+    collapse to one representative BEFORE hashing (an m-member identical
+    cluster shares every chunk — the self-join was O(m^2)) and rejoin as
+    (rep, member, hamming=0) star edges; residual hot chunk buckets — a
+    15-bit chunk space WILL saturate at corpus scale — emit star pairs
+    against the bucket's min-doc anchor (O(width), D.BUCKET_CAP)."""
     from .functions.hashing import simhash_struct_fold
     bits, bands = _SIMHASH64_BITS, _SIMHASH64_BANDS
     width = bits // bands
-    docs = (_t(spark, sf_dir, "documents")
+    raw = _t(spark, sf_dir, "documents")
+    classes = D.exact_classes(raw).localCheckpoint()
+    reps = raw.join(
+        classes.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id", "left_semi")
+    docs = (reps
             .select("doc_id", _words_col().alias("words"))
             .filter(F.size("words") > 0)
             .select("doc_id", F.transform("words", md5_int60).alias("th"))
             .repartition("doc_id"))
+    # sig is consumed three times (chunking + both sides of the verify
+    # join-back) — materialize once
     sig = docs.select(
-        "doc_id", simhash_struct_fold(F.col("th"), bits).alias("simhash"))
-    chunks = sig.select(
-        "doc_id", "simhash",
+        "doc_id", simhash_struct_fold(F.col("th"), bits).alias("simhash")) \
+        .localCheckpoint()
+    w = Window.partitionBy("band_idx", "chunk")
+    chunks = (sig.select(
+        "doc_id",
         F.posexplode(F.array(*[
             F.shiftright("simhash", width * k)
             .bitwiseAND(F.lit((1 << width) - 1))
-            for k in range(bands)])).alias("band_idx", "chunk")) \
-        .localCheckpoint()
-    a = chunks.select(F.col("doc_id").alias("a_doc_id"),
-                      F.col("simhash").alias("a_sim"), "band_idx", "chunk")
-    b = chunks.select(F.col("doc_id").alias("b_doc_id"),
-                      F.col("simhash").alias("b_sim"), "band_idx", "chunk")
-    return (a.join(b, ["band_idx", "chunk"])
+            for k in range(bands)])).alias("band_idx", "chunk"))
+        .withColumn("bn", F.count(F.lit(1)).over(w))
+        .withColumn("anchor", F.min("doc_id").over(w))
+        .localCheckpoint())
+    small = chunks.filter(F.col("bn") <= D.BUCKET_CAP)
+    a = small.select(F.col("doc_id").alias("a_doc_id"), "band_idx", "chunk")
+    b = small.select(F.col("doc_id").alias("b_doc_id"), "band_idx", "chunk")
+    full = (a.join(b, ["band_idx", "chunk"])
             .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+            .select("a_doc_id", "b_doc_id"))
+    star_buckets = (chunks.filter((F.col("bn") > D.BUCKET_CAP)
+                                  & (F.col("doc_id") != F.col("anchor")))
+                    .select(F.col("anchor").alias("a_doc_id"),
+                            F.col("doc_id").alias("b_doc_id")))
+    cand = full.unionByName(star_buckets).distinct()
+    sa = sig.select(F.col("doc_id").alias("a_doc_id"),
+                    F.col("simhash").alias("a_sim"))
+    sb = sig.select(F.col("doc_id").alias("b_doc_id"),
+                    F.col("simhash").alias("b_sim"))
+    near = (cand.join(sa, "a_doc_id").join(sb, "b_doc_id")
             .select("a_doc_id", "b_doc_id",
                     F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
                     .alias("hamming"))
-            .distinct()
             .filter(F.col("hamming") <= 3))
+    star_cls = (classes.filter(F.col("doc_id") != F.col("rep_id"))
+                .select(F.col("rep_id").alias("a_doc_id"),
+                        F.col("doc_id").alias("b_doc_id"),
+                        F.lit(0).cast("int").alias("hamming")))
+    return near.unionByName(star_cls)
 
 
 def q17_text_quality(spark, sf_dir):
@@ -1340,25 +1372,43 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q38_simhash_neardup": (lambda _v=duckdb_simhash_select(
             _SIMHASH_TH, bits=_SIMHASH64_BITS): f"""
-        WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        WITH {D.duckdb_exact_classes_cte()}, toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM rdocs
         ), votes AS (
             SELECT doc_id, {_v[0]}
             FROM toks WHERE word <> '' GROUP BY doc_id
         ), sig AS (
             SELECT doc_id, ({_v[1]})::BIGINT AS simhash FROM votes
         ), chunks AS (
-            SELECT doc_id, simhash, k AS band_idx,
-                   (simhash >> (15 * k)) & 32767 AS chunk
+            SELECT doc_id, k AS band_idx,
+                   (simhash >> (15 * k)) & 32767 AS chunk,
+                   count(*) OVER (PARTITION BY k,
+                       (simhash >> (15 * k)) & 32767) AS bn,
+                   min(doc_id) OVER (PARTITION BY k,
+                       (simhash >> (15 * k)) & 32767) AS anchor
             FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
         ), cand AS (
-            SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
-                   bit_count(xor(a.simhash, b.simhash)) AS hamming
-            FROM chunks a JOIN chunks b
-              ON a.band_idx = b.band_idx AND a.chunk = b.chunk
-             AND a.doc_id < b.doc_id
+            SELECT DISTINCT a_doc_id, b_doc_id FROM (
+                SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+                FROM chunks a JOIN chunks b
+                  ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
+                WHERE a.bn <= {D.BUCKET_CAP}
+                UNION ALL
+                SELECT anchor, doc_id FROM chunks
+                WHERE bn > {D.BUCKET_CAP} AND doc_id <> anchor
+            )
         )
-        SELECT a_doc_id, b_doc_id, hamming FROM cand WHERE hamming <= 3
+        SELECT c.a_doc_id, c.b_doc_id,
+               bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_doc_id
+        JOIN sig sb ON sb.doc_id = c.b_doc_id
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        UNION ALL
+        SELECT rep_id AS a_doc_id, doc_id AS b_doc_id,
+               bit_count(0::BIGINT) AS hamming
+        FROM cls WHERE doc_id <> rep_id
     """)(),
     "q35_dedup_groups": D.duckdb_dedup_groups_sql(),
     "q17_text_quality": """
