@@ -99,25 +99,73 @@ def learn_bpe_merges(census: DataFrame | Sequence[tuple[str, int]],
     exactly like ``hot_keys``'s 1/threshold) or an already-local list.
     Ties break deterministically: max count, then lexicographically
     smallest (a, b).
+
+    Incremental pair maintenance (the r4-verdict fix for the per-merge
+    full recount): pair counts and a pair -> {word index} occurrence map
+    are built once; each merge touches ONLY the words that contain the
+    merged pair, subtracting their old adjacent-pair contributions and
+    adding the new ones.  Selection rides a lazy max-heap — every count
+    change pushes a fresh (-count, pair) entry, stale entries are
+    discarded on pop by checking the live count — so per-merge cost is
+    O(affected words * their length + log-heap), not O(census).  A real
+    50k-merge vocab over a 10^6-word census is minutes, not hours; the
+    greedy sequence (incl. tie-breaks) is provably identical to the
+    full-recount reference, and the tests compare the two directly.
     """
+    import heapq
+
     if isinstance(census, DataFrame):
         census = [(r["word"], r["n"]) for r in census.collect()]
     words: list[tuple[list[str], int]] = [
         (list(w), n) for w, n in census if len(w) > 0]
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            counts[pair] = counts.get(pair, 0) + n
+            where.setdefault(pair, set()).add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, n in words:
-            for i in range(len(syms) - 1):
-                pair = (syms[i], syms[i + 1])
-                counts[pair] = counts.get(pair, 0) + n
-        if not counts:
+        best = None
+        while heap:
+            neg_c, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -neg_c and neg_c < 0:
+                best = p
+                break
+        if best is None:
             break
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        words = [(syms if (best[0] not in syms)
-                  else _merge_word(syms, *best), n)
-                 for syms, n in words]
+        for wi in sorted(where.get(best, ())):
+            syms, n = words[wi]
+            old_pairs = list(zip(syms, syms[1:]))
+            new_syms = _merge_word(syms, *best)
+            new_pairs = list(zip(new_syms, new_syms[1:]))
+            words[wi] = (new_syms, n)
+            touched = set()
+            for p in old_pairs:
+                counts[p] -= n
+                touched.add(p)
+            for p in new_pairs:
+                counts[p] = counts.get(p, 0) + n
+                touched.add(p)
+            new_set = set(new_pairs)
+            for p in touched - new_set:
+                s = where.get(p)
+                if s is not None:
+                    s.discard(wi)
+            for p in new_set:
+                where.setdefault(p, set()).add(wi)
+            for p in touched:
+                c = counts.get(p, 0)
+                if c > 0:
+                    heapq.heappush(heap, (-c, p))
+        where.pop(best, None)
+        counts.pop(best, None)
     return merges
 
 
