@@ -156,6 +156,7 @@ def main() -> None:
                                                    learn_bpe_merges,
                                                    word_census)
     from ocr_documents_spark.operators.bloom import (bloom_build,
+                                                     bloom_probe,
                                                      bloom_words_to_bitmap,
                                                      with_bloom_maybe)
     from ocr_documents_spark.operators.dedup import fingerprint15
@@ -230,6 +231,18 @@ def main() -> None:
                 bench_docs.select(
                     "doc_id", fingerprint15(F.col("text")).alias("key")),
                 bitmap, "key")),
+        # the beyond-driver-memory design point: at m = 10^10 bits the
+        # word table cannot be a bitmap and the probe is a relational
+        # join.  Exercised here at m = 2^26 with broadcast=False so the
+        # measured plan IS the shuffle-join fallback (word table built
+        # once outside the timer, the steady-state split all index
+        # structures get)
+        "bloom_probe_relational": (lambda words=bloom_build(
+            bench_docs.select(fingerprint15(F.col("text")).alias("key")),
+            "key", m_bits=1 << 26).localCheckpoint():
+            bloom_probe(
+                bench_docs.select(fingerprint15(F.col("text")).alias("key")),
+                words, "key", m_bits=1 << 26, broadcast=False)),
         # trained-filter deployment split: TRAIN on a labeled seed
         # (one-time), SCORE the corpus (steady state, relational path)
         "classifier_train": lambda: train_linear_classifier(

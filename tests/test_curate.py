@@ -398,3 +398,28 @@ def test_conflicting_samplers_rejected(spark):
     with _pt.raises(ValueError, match="not both"):
         run_curation(spark, docs, weights={"web": 1.0},
                      token_budgets={"web": 100})
+
+
+def test_funnel_golden_sf01(spark):
+    """r4 verdict #5: freeze the sf0.1 funnel so a silent behavior change
+    in ANY stage (quality gate constants, dedup banding, decontamination
+    n-gram width, packing arithmetic) shows up as a value diff here, not
+    as an unexplained throughput blip in the bench.  The bench-default
+    config: no weights, eval set = every 97th doc re-idented."""
+    sf_dir = "/root/testdata/sf0.1"
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    eval_set = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter(F.col("doc_id") % 97 == 0)
+                .select((F.col("doc_id") + 10**9).alias("bench_id"),
+                        "text"))
+    got = run_curation(spark, docs, bench=eval_set)
+    assert got == {
+        "input": 5000,
+        "after_quality": 2738,
+        "after_dedup": 2605,
+        "after_decontaminate": 2577,
+        "manifest_slices": 2668,
+        "train_sequences": 94,
+        "train_tokens": 191688,
+    }
