@@ -182,3 +182,42 @@ def test_token_budget_parity_on_random_corpora(spark, seed):
     assert got == want
     assert any(s == "dom3" for i, _, s in rows
                if i in set(got))            # unbounded domain keeps all
+
+
+@pytest.mark.parametrize("seed", [3, 58, 901])
+def test_pagerank_parity_on_random_graphs(spark, seed):
+    """Random graphs stressing every structural hazard of the integer
+    micro-unit twin: dangling sinks (mass leak), self-loops, multi-edges
+    (must collapse), disconnected components, hubs, and isolated pairs —
+    exact value parity at several iteration depths plus the mass
+    invariants."""
+    from ocr_documents_spark.operators import graph as G
+    rng = random.Random(seed)
+    n = rng.randrange(30, 90)
+    nodes = [f"n{i}" for i in range(n)]
+    edges = []
+    # hub: many in-links to node 0
+    edges += [(rng.choice(nodes), "n0") for _ in range(n // 2)]
+    # random edges incl. self-loops
+    edges += [(rng.choice(nodes), rng.choice(nodes))
+              for _ in range(3 * n)]
+    # a disconnected 2-cycle island
+    edges += [("island_a", "island_b"), ("island_b", "island_a")]
+    # dangling sink: in-links only
+    edges += [(rng.choice(nodes), "sink_only") for _ in range(5)]
+    # duplicates on purpose
+    edges += edges[: n // 3]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters = rng.choice([1, 4, 7])
+    got = {r["node"]: r["rank_micro"]
+           for r in G.pagerank(df, iters=iters).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    want = dict(con.execute(G.duckdb_pagerank_sql(
+        "SELECT src, dst FROM edges", iters=iters)).fetchall())
+    assert got == want
+    # invariants: total mass never exceeds SCALE; teleport floor holds
+    base = ((100 - G.DAMPING_PCT) * (G.SCALE // len(want))) // 100
+    assert sum(got.values()) <= G.SCALE
+    assert all(v >= base for v in got.values())
