@@ -103,21 +103,25 @@ def learn_bpe_merges(census: DataFrame | Sequence[tuple[str, int]],
     Incremental pair maintenance (the r4-verdict fix for the per-merge
     full recount): pair counts and a pair -> {word index} occurrence map
     are built once; each merge touches ONLY the words that contain the
-    merged pair, subtracting their old adjacent-pair contributions and
-    adding the new ones.  Selection rides a lazy max-heap — every count
-    change pushes a fresh (-count, pair) entry, stale entries are
-    discarded on pop by checking the live count — so per-merge cost is
-    O(affected words * their length + log-heap), not O(census).  A real
-    50k-merge vocab over a 10^6-word census is minutes, not hours; the
-    greedy sequence (incl. tie-breaks) is provably identical to the
-    full-recount reference, and the tests compare the two directly.
+    merged pair, accumulating per-pair NET deltas across them and
+    applying each changed pair's count exactly once.  Selection rides a
+    lazy max-heap — every net count change pushes one fresh
+    (-count, pair) entry, stale entries are discarded on pop by checking
+    the live count — so per-merge cost is
+    O(affected words * their length + changed pairs * log-heap), not
+    O(census).  A real 50k-merge vocab over a 10^6-word census is
+    minutes, not hours; the greedy sequence (incl. tie-breaks) is
+    identical to the full-recount reference for any census of POSITIVE
+    counts (tests compare the two directly).  Zero/negative-count census
+    rows are treated as absent — the one divergence from the reference,
+    which would still "merge" pairs occurring zero times.
     """
     import heapq
 
     if isinstance(census, DataFrame):
         census = [(r["word"], r["n"]) for r in census.collect()]
     words: list[tuple[list[str], int]] = [
-        (list(w), n) for w, n in census if len(w) > 0]
+        (list(w), n) for w, n in census if len(w) > 0 and n > 0]
 
     counts: dict[tuple[str, str], int] = {}
     where: dict[tuple[str, str], set[int]] = {}
@@ -140,30 +144,31 @@ def learn_bpe_merges(census: DataFrame | Sequence[tuple[str, int]],
         if best is None:
             break
         merges.append(best)
+        delta: dict[tuple[str, str], int] = {}
         for wi in sorted(where.get(best, ())):
             syms, n = words[wi]
             old_pairs = list(zip(syms, syms[1:]))
             new_syms = _merge_word(syms, *best)
             new_pairs = list(zip(new_syms, new_syms[1:]))
             words[wi] = (new_syms, n)
-            touched = set()
             for p in old_pairs:
-                counts[p] -= n
-                touched.add(p)
+                delta[p] = delta.get(p, 0) - n
             for p in new_pairs:
-                counts[p] = counts.get(p, 0) + n
-                touched.add(p)
+                delta[p] = delta.get(p, 0) + n
             new_set = set(new_pairs)
-            for p in touched - new_set:
+            for p in set(old_pairs) - new_set:
                 s = where.get(p)
                 if s is not None:
                     s.discard(wi)
             for p in new_set:
                 where.setdefault(p, set()).add(wi)
-            for p in touched:
-                c = counts.get(p, 0)
-                if c > 0:
-                    heapq.heappush(heap, (-c, p))
+        for p, d in delta.items():
+            if d == 0:
+                continue
+            c = counts.get(p, 0) + d
+            counts[p] = c
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
         where.pop(best, None)
         counts.pop(best, None)
     return merges

@@ -233,13 +233,24 @@ def estimated_jaccard(a_sig, b_sig):
     return F.round(matches.cast("double") / F.size(a_sig), 4) + 0.0
 
 
+def exact_fingerprint(text_col="text"):
+    """THE exact-content equivalence key: fingerprint15 over the
+    single-space rejoin of :func:`words_col` — exactly what the shingle
+    pipeline cannot tell apart (equal word sequences give equal shingle
+    sets, identical signatures, Jaccard 1.0).  Shared by
+    :func:`exact_classes`, q38's SimHash collapse, and the streaming
+    committer's batch exact-dedup, so every dedup surface agrees on
+    what "exact duplicate" means.  NULL text normalizes to the empty
+    string, so NULL and "" share a class on both engines.  Accepts a
+    column name or Column."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return fingerprint15(
+        F.concat_ws(" ", words_col(F.coalesce(col, F.lit("")))))
+
+
 def exact_classes(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-duplicate classes: -> (doc_id, rep_id) where ``rep_id`` is
-    the min doc_id among all docs whose WHITESPACE-NORMALIZED word
-    sequence is byte-identical (fingerprint15 over the single-space
-    rejoin of :func:`words_col` — exactly the equivalence the shingle
-    pipeline cannot tell apart: equal word sequences give equal shingle
-    sets, identical signatures, Jaccard 1.0).
+    the min doc_id among all docs sharing an :func:`exact_fingerprint`.
 
     This is the r4-verdict pre-collapse: exact duplicates are 30–50% of
     a real crawl, and an m-member identical cluster lands whole in EVERY
@@ -249,17 +260,52 @@ def exact_classes(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stage see each distinct content once; class members rejoin the
     result as O(m) star edges (see :func:`verified_pairs`).
 
-    One shuffle (window over the fingerprint); NULL text normalizes to
-    the empty string, so NULL and "" share a class on both engines.
+    One shuffle (window over the fingerprint).
     """
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-        lambda x: x != "")
-    fp = fingerprint15(F.concat_ws(" ", words))
     w = Window.partitionBy("fp")
-    return (docs.select("doc_id", fp.alias("fp"))
+    return (docs.select("doc_id", exact_fingerprint(text_col).alias("fp"))
             .withColumn("rep_id", F.min("doc_id").over(w))
             .select("doc_id", "rep_id"))
+
+
+def representatives(docs: DataFrame, text_col: str = "text",
+                    classes: DataFrame | None = None) -> DataFrame:
+    """``docs`` filtered to one representative row per exact-content
+    class (the class minimum doc_id).  Pass ``classes`` when
+    :func:`exact_classes` output is already at hand to avoid a second
+    fingerprint pass."""
+    if classes is None:
+        classes = exact_classes(docs, text_col)
+    return docs.join(
+        classes.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id", "left_semi")
+
+
+def capped_pairs(stacked: DataFrame, key_cols: list[str],
+                 bucket_cap: int) -> DataFrame:
+    """THE hot-bucket star guard, shared by the MinHash band join and
+    q38's SimHash chunk join: self-join ``stacked(doc_id, *key_cols)``
+    on ``key_cols`` -> (a_doc_id, b_doc_id) with a < b, except buckets
+    wider than ``bucket_cap`` contribute (anchor, member) STAR pairs —
+    O(width) instead of O(width^2); the anchor is the bucket's min
+    doc_id.  The width census rides a window over the SAME key the join
+    shuffles on — no extra exchange shape."""
+    w = Window.partitionBy(*key_cols)
+    st = (stacked
+          .withColumn("bn", F.count(F.lit(1)).over(w))
+          .withColumn("anchor", F.min("doc_id").over(w))
+          .localCheckpoint())   # consumed three times below
+    small = st.filter(F.col("bn") <= bucket_cap)
+    a = small.select(F.col("doc_id").alias("a_doc_id"), *key_cols)
+    b = small.select(F.col("doc_id").alias("b_doc_id"), *key_cols)
+    full = (a.join(b, key_cols)
+            .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+            .select("a_doc_id", "b_doc_id"))
+    star = (st.filter((F.col("bn") > bucket_cap)
+                      & (F.col("doc_id") != F.col("anchor")))
+            .select(F.col("anchor").alias("a_doc_id"),
+                    F.col("doc_id").alias("b_doc_id")))
+    return full.unionByName(star).distinct()
 
 
 def candidate_pairs(sig: DataFrame, bands: int = BANDS,
@@ -293,22 +339,7 @@ def candidate_pairs(sig: DataFrame, bands: int = BANDS,
                 .filter(F.col("a_doc_id") < F.col("b_doc_id"))
                 .select("a_doc_id", "b_doc_id")
                 .distinct())
-    w = Window.partitionBy("band_idx", "band")
-    st = (stacked
-          .withColumn("bn", F.count(F.lit(1)).over(w))
-          .withColumn("anchor", F.min("doc_id").over(w))
-          .localCheckpoint())   # consumed three times below
-    small = st.filter(F.col("bn") <= bucket_cap)
-    a = small.select(F.col("doc_id").alias("a_doc_id"), "band_idx", "band")
-    b = small.select(F.col("doc_id").alias("b_doc_id"), "band_idx", "band")
-    full = (a.join(b, ["band_idx", "band"])
-            .filter(F.col("a_doc_id") < F.col("b_doc_id"))
-            .select("a_doc_id", "b_doc_id"))
-    star = (st.filter((F.col("bn") > bucket_cap)
-                      & (F.col("doc_id") != F.col("anchor")))
-            .select(F.col("anchor").alias("a_doc_id"),
-                    F.col("doc_id").alias("b_doc_id")))
-    return full.unionByName(star).distinct()
+    return capped_pairs(stacked, ["band_idx", "band"], bucket_cap)
 
 
 def band_index(sig: DataFrame, bands: int = BANDS) -> DataFrame:
@@ -400,9 +431,7 @@ def verified_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
     regardless of length; the r4 shape left them singletons.)
     """
     classes = exact_classes(docs).localCheckpoint()
-    reps = docs.join(
-        classes.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id", "left_semi")
+    reps = representatives(docs, classes=classes)
     # materialize the candidate-pair table: it is tiny (near-dup pairs) but
     # its DAG contains the full signature computation, and it is consumed
     # THREE times below (xa join, and both branches of cand_docs) — without

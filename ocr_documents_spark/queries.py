@@ -596,10 +596,7 @@ def q38_simhash_neardup(spark, sf_dir):
     width = bits // bands
     raw = _t(spark, sf_dir, "documents")
     classes = D.exact_classes(raw).localCheckpoint()
-    reps = raw.join(
-        classes.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id", "left_semi")
-    docs = (reps
+    docs = (D.representatives(raw, classes=classes)
             .select("doc_id", _words_col().alias("words"))
             .filter(F.size("words") > 0)
             .select("doc_id", F.transform("words", md5_int60).alias("th"))
@@ -609,27 +606,13 @@ def q38_simhash_neardup(spark, sf_dir):
     sig = docs.select(
         "doc_id", simhash_struct_fold(F.col("th"), bits).alias("simhash")) \
         .localCheckpoint()
-    w = Window.partitionBy("band_idx", "chunk")
-    chunks = (sig.select(
+    chunks = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.shiftright("simhash", width * k)
             .bitwiseAND(F.lit((1 << width) - 1))
             for k in range(bands)])).alias("band_idx", "chunk"))
-        .withColumn("bn", F.count(F.lit(1)).over(w))
-        .withColumn("anchor", F.min("doc_id").over(w))
-        .localCheckpoint())
-    small = chunks.filter(F.col("bn") <= D.BUCKET_CAP)
-    a = small.select(F.col("doc_id").alias("a_doc_id"), "band_idx", "chunk")
-    b = small.select(F.col("doc_id").alias("b_doc_id"), "band_idx", "chunk")
-    full = (a.join(b, ["band_idx", "chunk"])
-            .filter(F.col("a_doc_id") < F.col("b_doc_id"))
-            .select("a_doc_id", "b_doc_id"))
-    star_buckets = (chunks.filter((F.col("bn") > D.BUCKET_CAP)
-                                  & (F.col("doc_id") != F.col("anchor")))
-                    .select(F.col("anchor").alias("a_doc_id"),
-                            F.col("doc_id").alias("b_doc_id")))
-    cand = full.unionByName(star_buckets).distinct()
+    cand = D.capped_pairs(chunks, ["band_idx", "chunk"], D.BUCKET_CAP)
     sa = sig.select(F.col("doc_id").alias("a_doc_id"),
                     F.col("simhash").alias("a_sim"))
     sb = sig.select(F.col("doc_id").alias("b_doc_id"),
@@ -1941,8 +1924,10 @@ ORACLE_SQL: dict[str, str] = {
 # pytest coverage to make room (tests/test_registry_extras.py):
 #   q11_first_order_per_customer — same window-dedup operator as q05 on a
 #       second table; still validated against its DuckDB oracle in pytest;
-#   q14_lsh_candidate_pairs — a strict projection of q16's verify pipeline
-#       (D.verified_pairs runs candidate_pairs internally); pytest-checked;
+#   q14_lsh_candidate_pairs — the candidate stage over ALL docs (since
+#       the r5 exact-class collapse, q16's verify pipeline runs the same
+#       stage over representatives only, so q14 distinctly covers the
+#       uncollapsed signature-level shape); pytest-checked;
 #   q33_approx_distinct — HLL sketch estimates can never hash-match a
 #       different engine by construction; pytest bounds-checks it.
 QUERIES = {

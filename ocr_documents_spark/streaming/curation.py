@@ -64,9 +64,15 @@ METRICS_SCHEMA = T.StructType(
 def curation_committer(lake, bench: DataFrame | None = None,
                        n_hashes: int | None = None,
                        bands: int | None = None,
-                       est_threshold: float | None = None):
+                       est_threshold: float | None = None,
+                       bucket_cap: int | None = None):
     """foreachBatch callback factory (exposed for direct replay tests,
-    like sessionize.stream_committer)."""
+    like sessionize.stream_committer).  ``bucket_cap`` forwards to the
+    batch-internal ``candidate_pairs`` star guard (default
+    ``D.BUCKET_CAP``); exact duplicates are collapsed by
+    ``D.exact_fingerprint`` BEFORE banding, so a wider-than-cap bucket
+    here means >cap genuinely-distinct near-dup texts in one
+    micro-batch."""
     from ..jobs import lake as L
     from ..operators import dedup as D
     from ..operators.decontaminate import decontaminate
@@ -75,6 +81,7 @@ def curation_committer(lake, bench: DataFrame | None = None,
 
     n_hashes = n_hashes or D.N_HASHES
     bands = bands or D.BANDS
+    bucket_cap = D.BUCKET_CAP if bucket_cap is None else bucket_cap
     # 0.0 is a meaningful threshold (drop on any band hit) — only None
     # falls back to the default
     est_threshold = (D.JACCARD_THRESHOLD if est_threshold is None
@@ -97,8 +104,14 @@ def curation_committer(lake, bench: DataFrame | None = None,
             cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
             funnel["after_quality"] = cur.count()
 
-            # exact dups within the batch: deterministic min-doc_id winner
-            fp = cur.withColumn("__fp", F.md5("text"))
+            # exact dups within the batch: deterministic min-doc_id
+            # winner, keyed by the SHARED exact-content equivalence
+            # (D.exact_fingerprint — whitespace-normalized, the same key
+            # the batch dedup's BUCKET_CAP star guard assumes has
+            # already collapsed identical content; raw md5(text) would
+            # leave whitespace variants as an uncollapsed identical
+            # cluster in every band bucket)
+            fp = cur.withColumn("__fp", D.exact_fingerprint("text"))
             canon = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
             cur = (fp.join(canon, ["__fp", "doc_id"], "left_semi")
                    .drop("__fp").localCheckpoint())
@@ -113,7 +126,7 @@ def curation_committer(lake, bench: DataFrame | None = None,
 
             # near-dups within the batch: band collision -> estimated-
             # Jaccard gate -> min-id canonical per confirmed pair
-            pairs = D.candidate_pairs(sig, bands)
+            pairs = D.candidate_pairs(sig, bands, bucket_cap)
             gated = (pairs
                      .join(sig_arr.select(
                          F.col("doc_id").alias("a_doc_id"),

@@ -251,3 +251,38 @@ def test_probe_counts_only_batch_survivors(spark, tmp_path):
     assert row["after_batch_dedup"] == 1       # 12 dropped in-batch
     assert row["index_band_hits"] == 1         # only survivor 11 counted
     assert row["after_index_dedup"] == 0       # 11 dropped vs the index
+
+
+def test_hot_bucket_star_guard_in_batch_dedup(spark, tmp_path):
+    """r5: the batch-internal candidate join inherits candidate_pairs'
+    BUCKET_CAP star guard.  A micro-batch with more DISTINCT mutually-
+    near-dup texts than the cap in one band bucket must (a) run through
+    the star path without losing the drops — identical kept set as an
+    uncapped committer on the same batch — and (b) keep exact dups
+    collapsing BEFORE banding (the guard's documented precondition),
+    which since r5 uses the whitespace-normalized exact_fingerprint, so
+    a whitespace variant can never repopulate a hot bucket."""
+    variants = [GOOD_A] + [
+        GOOD_A.replace("fog", w)
+        for w in ("mist", "haze", "smoke", "steam", "vapor")]
+    rows = [(i + 1, t, "web") for i, t in enumerate(variants)]
+    rows.append((7, GOOD_A.replace("fog ", "fog  ") + " ", "web"))  # ws var
+    rows.append((9, GOOD_F, "books"))                               # unrelated
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+    kept = {}
+    for name, cap in (("capped", 2), ("uncapped", None)):
+        lake = Lake(str(tmp_path / name), n_buckets=4)
+        C.curation_committer(lake, bucket_cap=cap)(batch, 0)
+        kept[name] = set(_kept(spark, lake))
+        m = (spark.read.parquet(lake.path(C.CURATION_METRICS)).first())
+        # the whitespace variant collapsed at the exact stage: the est
+        # gate saw at most the 6 distinct variants
+        assert m["input"] == 8
+        assert m["after_batch_dedup"] == len(kept[name])
+    # star guard loses none of the drops on this cluster (every member
+    # is near-dup to the min-id anchor), and the unrelated doc survives
+    assert kept["capped"] == kept["uncapped"]
+    assert 9 in kept["capped"] and 1 in kept["capped"]
+    assert len(kept["capped"]) == 2
