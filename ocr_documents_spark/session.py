@@ -52,6 +52,16 @@ def get_spark(app_name: str = "ocr-documents-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch space.  On a real cluster this is the
+    # executor-local NVMe array; on this single-box sandbox the default
+    # (/tmp) is one virtual disk shared by all 32 task threads, which
+    # tools/heavy_diag.py measured as a 15x per-task shuffle-write
+    # inflation at local[32] vs local[8].  Point it at tmpfs
+    # (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) to take the disk out of the
+    # measurement the way per-executor NVMe does in production.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
