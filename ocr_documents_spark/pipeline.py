@@ -321,18 +321,37 @@ def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
     if not salt or heavy_threshold >= NO_SALT_CUTOFF:
         return docs.mapInPandas(
             _direct_batches(skip_quality_check, forced_type), RESULT_SCHEMA)
-    n = F.size("spans")
-    light = docs.filter(n <= heavy_threshold).mapInPandas(
+    return (light_branch(docs, heavy_threshold, skip_quality_check,
+                         forced_type)
+            .unionByName(heavy_branch(docs, heavy_threshold,
+                                      skip_quality_check, forced_type)))
+
+
+def light_branch(docs: DataFrame, heavy_threshold: int,
+                 skip_quality_check: bool = False,
+                 forced_type: str | None = None) -> DataFrame:
+    """The zero-shuffle direct stage over docs at/below the split.
+
+    Shared by run_pipeline and tools/heavy_diag.py so the diagnostic
+    always measures the production branch shape, never a hand-copy.
+    """
+    return docs.filter(F.size("spans") <= heavy_threshold).mapInPandas(
         _direct_batches(skip_quality_check, forced_type), RESULT_SCHEMA)
 
-    gated = with_quality_gate(docs.filter(n > heavy_threshold),
+
+def heavy_branch(docs: DataFrame, heavy_threshold: int,
+                 skip_quality_check: bool = False,
+                 forced_type: str | None = None) -> DataFrame:
+    """Gate → short-circuit rejects → salted recover/regroup/finalize
+    over docs above the split (see light_branch for the sharing note)."""
+    gated = with_quality_gate(docs.filter(F.size("spans") > heavy_threshold),
                               skip_quality_check)
     rejected = rejected_quality_results(gated.filter(~F.col("quality_ok")))
     passed = gated.filter(F.col("quality_ok")).select(
         "doc_id", "spans", "quality_warnings")
     heavy = recover_and_regroup(passed, salt=True).mapInPandas(
         _finalize_batches(forced_type), RESULT_SCHEMA)
-    return light.unionByName(heavy).unionByName(rejected)
+    return heavy.unionByName(rejected)
 
 
 def read_docs(spark: SparkSession, path: str) -> DataFrame:

@@ -54,11 +54,14 @@ def get_spark(app_name: str = "ocr-documents-spark",
     )
     # Shuffle/spill scratch space.  On a real cluster this is the
     # executor-local NVMe array; on this single-box sandbox the default
-    # (/tmp) is one virtual disk shared by all 32 task threads, which
-    # tools/heavy_diag.py measured as a 15x per-task shuffle-write
-    # inflation at local[32] vs local[8].  Point it at tmpfs
-    # (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) to take the disk out of the
-    # measurement the way per-executor NVMe does in production.
+    # (/tmp) is one virtual disk shared by all 32 task threads.  Point
+    # it at tmpfs (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) to take disk I/O
+    # out of the scratch path the way per-executor NVMe does in
+    # production.  NOTE the measured caveat (BENCH.md §3 decomposition):
+    # the 10-15x shuffle-write-time inflation at local[32] SURVIVES a
+    # tmpfs scratch dir — it is compress/copy CPU contending with the
+    # Python workers, not I/O — so do not expect this knob alone to
+    # restore 8->32 scaling on one box.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

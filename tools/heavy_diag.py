@@ -35,6 +35,7 @@ import subprocess
 import sys
 import time
 import urllib.request
+from datetime import datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,9 +57,9 @@ def _stage_metrics(spark, since_stage: int) -> list[dict]:
             continue
         fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
         try:
-            sub = time.strptime(s["submissionTime"], fmt)
-            comp = time.strptime(s["completionTime"], fmt)
-            wall = time.mktime(comp) - time.mktime(sub)
+            sub = datetime.strptime(s["submissionTime"], fmt)
+            comp = datetime.strptime(s["completionTime"], fmt)
+            wall = round((comp - sub).total_seconds(), 3)
         except Exception:
             wall = None
         out.append({
@@ -92,11 +93,13 @@ def measure(parallelism: int, mult: int) -> dict:
     from ocr_documents_spark.fixtures.gen import docs_for_sf, generate_docs
     from ocr_documents_spark import pipeline as P
     from ocr_documents_spark.pipeline import (DOCS_SCHEMA, read_docs,
-                                              recover_and_regroup,
-                                              rejected_quality_results,
-                                              run_pipeline, with_quality_gate)
+                                              run_pipeline)
     from ocr_documents_spark.session import get_spark
-    from pyspark.sql import functions as F
+
+    if P.auto_heavy_threshold() >= P.NO_SALT_CUTOFF:
+        sys.exit("SPARK_GRAFT_RECOVER_MS_PER_SPAN is unset/too small: the "
+                 "cost model picks the single-scan direct plan, so 'full' "
+                 "would not decompose into light+heavy. Set it (e.g. 300).")
 
     n_docs = docs_for_sf(SF) * mult
     path = corpus_path(SF, n_docs)
@@ -122,25 +125,10 @@ def measure(parallelism: int, mult: int) -> dict:
     docs.count()
 
     thr = P.auto_heavy_threshold()
-    n = F.size("spans")
-
-    def light_df():
-        return docs.filter(n <= thr).mapInPandas(
-            P._direct_batches(False, None), P.RESULT_SCHEMA)
-
-    def heavy_df():
-        gated = with_quality_gate(docs.filter(n > thr), False)
-        rejected = rejected_quality_results(gated.filter(~F.col("quality_ok")))
-        passed = gated.filter(F.col("quality_ok")).select(
-            "doc_id", "spans", "quality_warnings")
-        heavy = recover_and_regroup(passed, salt=True).mapInPandas(
-            P._finalize_batches(None), P.RESULT_SCHEMA)
-        return heavy.unionByName(rejected)
-
     comps = {
         "full": lambda: run_pipeline(docs),
-        "light": light_df,
-        "heavy": heavy_df,
+        "light": lambda: P.light_branch(docs, thr),
+        "heavy": lambda: P.heavy_branch(docs, thr),
     }
     out = {"parallelism": parallelism, "docs": n_docs, "threshold": thr,
            "components": {}}
@@ -180,8 +168,11 @@ def main() -> None:
                "--measure", str(p), "--mult", str(args.mult)]
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=3600, env=os.environ)
-        line = next(l for l in proc.stdout.splitlines()
-                    if l.startswith("RESULT "))
+        line = next((l for l in proc.stdout.splitlines()
+                     if l.startswith("RESULT ")), None)
+        if proc.returncode != 0 or line is None:
+            sys.exit(f"--measure {p} failed (rc={proc.returncode}):\n"
+                     + proc.stderr[-4000:])
         results[p] = json.loads(line[len("RESULT "):])
         time.sleep(5)
 
