@@ -20,7 +20,12 @@ Components timed (each as its own noop write over the same corpus):
 
 Usage:
   SPARK_GRAFT_RECOVER_MS_PER_SPAN=300 python tools/heavy_diag.py \
-      [--mult 20] [--levels 8,32]
+      [--mult 20] [--levels 8,32] [--comps heavy] \
+      [--conf spark.shuffle.compress=false ...]
+
+``--conf``/``--comps`` exist to A/B one knob against the BENCH.md §3
+decomposition (e.g. is the 10-15x shuffle-write-time inflation the
+compression CPU specifically?) without forking the tool.
 
 Diagnostic only — NOT part of the reported scaling protocol
 (tools/scaling_bench.py is the evidence path; this tool explains it).
@@ -88,7 +93,8 @@ def _max_stage(spark) -> int:
     return max((s["stageId"] for s in stages), default=-1) + 1
 
 
-def measure(parallelism: int, mult: int) -> dict:
+def measure(parallelism: int, mult: int, conf: dict | None = None,
+            comps_filter: set[str] | None = None) -> dict:
     from bench import corpus_path
     from ocr_documents_spark.fixtures.gen import docs_for_sf, generate_docs
     from ocr_documents_spark import pipeline as P
@@ -107,7 +113,8 @@ def measure(parallelism: int, mult: int) -> dict:
                       master=f"local[{parallelism}]",
                       shuffle_partitions=parallelism,
                       extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": str(4040 + parallelism)})
+                                  "spark.ui.port": str(4040 + parallelism),
+                                  **(conf or {})})
     spark.sparkContext.setLogLevel("ERROR")
 
     warm_rows = [(d["doc_id"],
@@ -130,8 +137,10 @@ def measure(parallelism: int, mult: int) -> dict:
         "light": lambda: P.light_branch(docs, thr),
         "heavy": lambda: P.heavy_branch(docs, thr),
     }
+    if comps_filter:
+        comps = {k: v for k, v in comps.items() if k in comps_filter}
     out = {"parallelism": parallelism, "docs": n_docs, "threshold": thr,
-           "components": {}}
+           "conf": conf or {}, "components": {}}
     for name, build in comps.items():
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
@@ -156,16 +165,29 @@ def main() -> None:
     ap.add_argument("--measure", type=int, default=None)
     ap.add_argument("--mult", type=int, default=20)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable) — A/B a knob "
+                         "without forking the tool")
+    ap.add_argument("--comps", default=None,
+                    help="comma list of components to time (full,light,heavy)")
     args = ap.parse_args()
 
+    conf = dict(kv.split("=", 1) for kv in args.conf)
+    comps_filter = set(args.comps.split(",")) if args.comps else None
+
     if args.measure:
-        print("RESULT " + json.dumps(measure(args.measure, args.mult)))
+        print("RESULT " + json.dumps(
+            measure(args.measure, args.mult, conf, comps_filter)))
         return
 
     results = {}
     for p in (int(x) for x in args.levels.split(",")):
         cmd = [sys.executable, os.path.abspath(__file__),
                "--measure", str(p), "--mult", str(args.mult)]
+        for kv in args.conf:
+            cmd += ["--conf", kv]
+        if args.comps:
+            cmd += ["--comps", args.comps]
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=3600, env=os.environ)
         line = next((l for l in proc.stdout.splitlines()
@@ -182,6 +204,8 @@ def main() -> None:
         a, b = levels
         print("\n== component speedups %d -> %d ==" % (a, b))
         for comp in ("full", "light", "heavy", "scan"):
+            if comp not in results[a]["components"]:
+                continue
             wa = results[a]["components"][comp]["wall_s"]
             wb = results[b]["components"][comp]["wall_s"]
             print(f"{comp:6s} {wa:8.2f}s -> {wb:8.2f}s   speedup {wa / wb:.2f}x")
