@@ -61,7 +61,11 @@ def get_spark(app_name: str = "ocr-documents-spark",
     # the 10-15x shuffle-write-time inflation at local[32] SURVIVES a
     # tmpfs scratch dir — it is compress/copy CPU contending with the
     # Python workers, not I/O — so do not expect this knob alone to
-    # restore 8->32 scaling on one box.
+    # restore 8->32 scaling on one box.  Also measured (BENCH.md §3
+    # knob A/B): spark.shuffle.compress=false makes local[32] WORSE
+    # (1.62x -> 1.20x) — uncompressed blocks push 1.5x the bytes
+    # through the same shared copy path — and a 24g heap changes
+    # nothing; the defaults are the tuned state.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
