@@ -11,10 +11,14 @@ on ``size(spans)``:
   scan -> one Arrow stage -> sink.
 * **heavy path** (media-heavy documents, the skew unit — hundreds to
   thousands of media spans in ONE row, invisible to AQE because skew hides
-  inside a single row): posexplode(spans) -> salted repartition on
-  (doc_id, span_idx) -> recover-text pandas UDF -> groupBy(doc_id)
-  offset-ordered reassembly (native sort_array) -> native quality gate ->
-  finalize mapInPandas.  Exactly two shuffles, and only over the skewed ~1%.
+  inside a single row): native quality gate (ONE probe decode per doc,
+  cheap-first; gate-failed docs stay in the same dataflow with spans
+  blanked — no second scan, no duplicate probe eval) ->
+  posexplode_outer(spans) -> salted repartition on (doc_id, span_idx) ->
+  recover-text pandas UDF -> groupBy(doc_id) offset-ordered reassembly
+  (native sort_array) -> finalize mapInPandas (synthesizes rejected
+  results from the carried gate columns).  Exactly two shuffles, and only
+  over the skewed ~1%.
 
 Scale design (SURVEY.md §4.2):
 * At production scale the input Iceberg table carries a ``size_class``
@@ -149,18 +153,33 @@ def _finalize_batches(forced_type: str | None = None):
     --py-files; rule tables compile once per executor process at import.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ocr_documents_spark.extractors.pipeline_pure import process_recovered
+        from ocr_documents_spark.extractors.pipeline_pure import (
+            process_recovered, rejected_quality_result)
 
         for pdf in batches:
+            n = len(pdf)
+            # gate riders are present on the heavy path; plain
+            # recover_and_regroup callers (no gate) default to passed
+            oks = pdf["quality_ok"] if "quality_ok" in pdf.columns else [True] * n
+            issues = (pdf["quality_issues"]
+                      if "quality_issues" in pdf.columns else [None] * n)
+            totals = (pdf["n_spans_total"]
+                      if "n_spans_total" in pdf.columns else [0] * n)
             rows = {k: [] for k in _RESULT_KEYS}
-            for doc_id, pages_raw, warns in zip(
-                    pdf["doc_id"], pdf["pages"], pdf["quality_warnings"]):
-                pages = [{"text": p["text"] if p["text"] is not None else "",
-                          "confidence": float(p["confidence"]),
-                          "media_ref": p["media_ref"]} for p in pages_raw]
-                r = process_recovered(
-                    doc_id, pages, forced_type,
-                    quality_warnings=[] if warns is None else list(warns))
+            for doc_id, pages_raw, warns, ok, iss, total in zip(
+                    pdf["doc_id"], pdf["pages"], pdf["quality_warnings"],
+                    oks, issues, totals):
+                warns = [] if warns is None else list(warns)
+                if ok is not None and not ok:
+                    r = rejected_quality_result(
+                        doc_id, int(total),
+                        None if iss is None else list(iss), warns)
+                else:
+                    pages = [{"text": p["text"] if p["text"] is not None else "",
+                              "confidence": float(p["confidence"]),
+                              "media_ref": p["media_ref"]} for p in pages_raw]
+                    r = process_recovered(doc_id, pages, forced_type,
+                                          quality_warnings=warns)
                 _append_result(rows, r)
             yield pd.DataFrame(rows)
     return fn
@@ -195,7 +214,8 @@ def with_quality_gate(docs: DataFrame, skip_quality_check: bool = False) -> Data
     reference's single-page reduced-dpi QC render,
     backend/image_quality_checker.py:242-254), then the pass/fail ladder as
     native JVM-side column arithmetic.  Documents that fail never pay
-    explode, shuffle, or recovery.
+    recovery: heavy_branch blanks their spans, so they cross the two
+    exchanges as single metadata rows.
     """
     # first media span = smallest OFFSET, not array position (spans may
     # arrive unordered); reorder the struct so sort_array keys on offset
@@ -221,47 +241,31 @@ def with_quality_gate(docs: DataFrame, skip_quality_check: bool = False) -> Data
             .withColumn("quality_warnings", warnings))
 
 
-def rejected_quality_results(docs: DataFrame) -> DataFrame:
-    """RESULT_SCHEMA rows for gate-failed docs, built natively (no Python).
-
-    Matches extractors/pipeline_pure.rejected_quality_result exactly.
-    """
-    out_span = F.struct(
-        F.lit("status").alias("kind"),
-        F.lit("rejected_quality").alias("text"),
-        F.lit(None).cast(StringType()).alias("media_ref"),
-        F.lit(0).alias("order"))
-    return docs.select(
-        "doc_id",
-        F.lit(None).cast(StringType()).alias("document_type"),
-        F.lit(0.0).alias("classify_confidence"),
-        F.lit(0.0).alias("overall_confidence"),
-        F.lit("rejected_quality").alias("status"),
-        F.size("spans").alias("n_pages"),
-        F.array().cast(ArrayType(FIELD_TYPE)).alias("fields"),
-        F.array(out_span).cast(ArrayType(OUT_SPAN_TYPE)).alias("out_spans"),
-        F.col("quality_issues"),
-        F.col("quality_warnings"),
-    )
-
-
 def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
-    """docs -> one row per doc with offset-ordered recovered pages (+ the
-    doc-level quality_warnings carried through the fan-out).
+    """docs -> one row per doc with offset-ordered recovered pages (+ every
+    doc-level column besides doc_id/spans — the gate's quality_* triage
+    surface, n_spans_total — carried through the fan-out as riders).
 
-    The warnings array rides ONLY the span_idx==0 row (null elsewhere), so
-    the explode shuffle carries one copy per document, not one per span —
-    a 4096-span doc would otherwise ship 4096 copies through two shuffles.
+    Each rider rides ONLY the first exploded row per document (null
+    elsewhere), so the explode shuffle carries one copy per document, not
+    one per span — a 4096-span doc would otherwise ship 4096 copies of
+    every array through two shuffles.
+
+    Documents whose spans array is EMPTY (the gate blanks rejected docs'
+    spans so they ride this dataflow as metadata-only rows) survive the
+    explode as a single null-span row (posexplode_outer) and regroup to
+    ``pages = []`` — collect_list drops the null page struct.
     """
-    has_warns = "quality_warnings" in docs.columns
-    if not has_warns:
+    if "quality_warnings" not in docs.columns:
         docs = docs.withColumn("quality_warnings",
                                F.array().cast("array<string>"))
-    spans = (docs.select("doc_id", "quality_warnings",
-                         F.posexplode("spans").alias("span_idx", "span"))
-             .withColumn("quality_warnings",
-                         F.when(F.col("span_idx") == 0,
-                                F.col("quality_warnings"))))
+    riders = [c for c in docs.columns if c not in ("doc_id", "spans")]
+    spans = docs.select("doc_id", *riders,
+                        F.posexplode_outer("spans").alias("span_idx", "span"))
+    first_row = F.coalesce(F.col("span_idx"), F.lit(0)) == 0
+    spans = spans.select(
+        "doc_id", "span_idx", "span",
+        *[F.when(first_row, F.col(c)).alias(c) for c in riders])
 
     if salt:
         # spread media-heavy documents across tasks; without this, a doc
@@ -278,22 +282,23 @@ def recover_and_regroup(docs: DataFrame, salt: bool = True) -> DataFrame:
 
     rec = spans.select(
         "doc_id",
-        "quality_warnings",
+        *riders,
+        F.col("span").isNotNull().alias("is_span"),
         F.col("span.offset").alias("offset"),
         F.col("span.media_ref").alias("media_ref"),
         recover_span(F.col("span.kind"), F.col("span.text"),
                      F.col("span.media_ref")).alias("rec"),
     )
 
+    page = F.when(F.col("is_span"), F.struct(
+        F.col("offset"),
+        F.col("rec.text").alias("text"),
+        F.col("media_ref"),
+        F.col("rec.confidence").alias("confidence"),
+    ))
     return rec.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct(
-            F.col("offset"),
-            F.col("rec.text").alias("text"),
-            F.col("media_ref"),
-            F.col("rec.confidence").alias("confidence"),
-        ))).alias("pages"),
-        F.first("quality_warnings", ignorenulls=True)
-        .alias("quality_warnings"))
+        F.sort_array(F.collect_list(page)).alias("pages"),
+        *[F.first(c, ignorenulls=True).alias(c) for c in riders])
 
 
 def run_pipeline(docs: DataFrame, skip_quality_check: bool = False,
@@ -342,16 +347,36 @@ def light_branch(docs: DataFrame, heavy_threshold: int,
 def heavy_branch(docs: DataFrame, heavy_threshold: int,
                  skip_quality_check: bool = False,
                  forced_type: str | None = None) -> DataFrame:
-    """Gate → short-circuit rejects → salted recover/regroup/finalize
-    over docs above the split (see light_branch for the sharing note)."""
+    """Gate → salted recover/regroup/finalize over docs above the split
+    (see light_branch for the sharing note).
+
+    Gate-FAILED docs ride the SAME dataflow as metadata-only rows: their
+    spans are blanked before the explode (no recovery work, one null-span
+    row through the two exchanges) and the finalize stage synthesizes the
+    rejected result from the carried quality columns via the shared pure
+    function.  The earlier two-branch shape (filter quality_ok, union a
+    native rejected projection) planned a SECOND FileScan of the heavy
+    slice and — because Catalyst extracts Python UDFs per Filter/Project
+    operator — evaluated the gate-probe pandas UDF up to FOUR times per
+    document; with a real OCR probe at 10^12 docs that is a 4× tax on the
+    single most expensive gate step.  Single dataflow: one scan, ONE
+    probe evaluation, same two exchanges (plan-asserted in
+    tests/test_plan_shapes.py).
+    """
     gated = with_quality_gate(docs.filter(F.size("spans") > heavy_threshold),
                               skip_quality_check)
-    rejected = rejected_quality_results(gated.filter(~F.col("quality_ok")))
-    passed = gated.filter(F.col("quality_ok")).select(
-        "doc_id", "spans", "quality_warnings")
-    heavy = recover_and_regroup(passed, salt=True).mapInPandas(
+    pruned = gated.select(
+        "doc_id",
+        F.size("spans").alias("n_spans_total"),
+        "quality_ok",
+        "quality_issues",
+        "quality_warnings",
+        F.when(F.col("quality_ok"), F.col("spans"))
+        .otherwise(F.array().cast(docs.schema["spans"].dataType))
+        .alias("spans"),
+    )
+    return recover_and_regroup(pruned, salt=True).mapInPandas(
         _finalize_batches(forced_type), RESULT_SCHEMA)
-    return heavy.unionByName(rejected)
 
 
 def read_docs(spark: SparkSession, path: str) -> DataFrame:

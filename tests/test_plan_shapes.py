@@ -103,6 +103,31 @@ def test_pipeline_forced_salt_has_exactly_two_shuffles(spark):
     assert exchange_count(run_pipeline(docs, heavy_threshold=16)) == 2
 
 
+def test_pipeline_gate_probe_evaluates_once_single_scan(spark, tmp_path):
+    """The r5 plan-audit find: the two-branch heavy shape (filter
+    quality_ok + union a native rejected projection) physically planned a
+    SECOND scan of the heavy slice and up to FOUR ArrowEvalPython
+    evaluations of the QC-probe UDF per document (Catalyst extracts
+    Python UDFs per Filter/Project operator).  The single-dataflow shape
+    must keep the probe in exactly ONE eval node and scan the source once
+    per branch (light + heavy = 2 FileScans total) — with a real OCR
+    probe at 10^12 docs each extra eval node is a full corpus-scale
+    decode pass."""
+    from ocr_documents_spark.fixtures.gen import generate_docs
+    from ocr_documents_spark.pipeline import (DOCS_SCHEMA, read_docs,
+                                              run_pipeline)
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in d["spans"]]) for d in generate_docs(30)]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, DOCS_SCHEMA).write.parquet(path)
+    plan = plan_of(run_pipeline(read_docs(spark, path), heavy_threshold=16))
+    eval_nodes = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    probe_nodes = [l for l in eval_nodes if "probe_first_media_qc" in l]
+    assert len(probe_nodes) == 1, plan
+    assert plan.count("FileScan") == 2, plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
     """Co-located join via bucketing (SURVEY §2.7 / the brief's 'bucketing
     for co-located joins'): two tables bucketed+sorted on the join key must
