@@ -128,6 +128,33 @@ def test_pipeline_gate_probe_evaluates_once_single_scan(spark, tmp_path):
     assert plan.count("FileScan") == 2, plan
 
 
+def test_registry_udfs_eval_once_and_never_row_at_a_time(spark):
+    """Registry-wide pin of the hazard class behind the heavy-gate find
+    above: every one of the 50 driver queries must plan (a) zero
+    BatchEvalPython nodes — a row-at-a-time Python UDF is a 10-100x tax
+    the brief bans from the hot path — and (b) at most ONE
+    ArrowEvalPython node, because Catalyst extracts scalar pandas-UDF
+    expressions once per referencing Filter/Project operator, so a
+    branching plan can silently re-run an expensive UDF per branch.
+    Today q32/q40/q41 are the only UDF-bearing plans, each with exactly
+    one eval node (verified by the r5 sweep over all 50 queries + 25
+    bench extra ops).  If a future query legitimately stacks two
+    DISTINCT pandas UDFs, relax the bound for that query by name —
+    never globally."""
+    from ocr_documents_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    arrow_counts = {}
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf))
+        assert "BatchEvalPython" not in plan, name
+        arrow_counts[name] = plan.count("ArrowEvalPython")
+    offenders = {n: c for n, c in arrow_counts.items() if c > 1}
+    assert not offenders, offenders
+    bearing = sorted(n for n, c in arrow_counts.items() if c == 1)
+    assert bearing == ["q32_media_features", "q40_main_content",
+                       "q41_layout_reading_order"], bearing
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
     """Co-located join via bucketing (SURVEY §2.7 / the brief's 'bucketing
     for co-located joins'): two tables bucketed+sorted on the join key must
