@@ -14,8 +14,9 @@ Components timed (each as its own noop write over the same corpus):
               plan (SPARK_GRAFT_RECOVER_MS_PER_SPAN must be set by the
               caller, e.g. 300)
   light       the light branch alone (docs <= threshold, direct stage)
-  heavy       the heavy branches alone (gate -> rejected ∪ salted
-              recover/regroup/finalize)
+  heavy       the heavy branch alone (gate -> single dataflow: salted
+              recover/regroup/finalize, rejected docs riding as
+              blanked-spans metadata rows)
   scan        parquet scan + count only (input bandwidth floor)
 
 Usage:
