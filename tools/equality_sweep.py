@@ -13,6 +13,11 @@ with the SAME census — the line-preserving strip changes no extraction
 outcome.  Widened to 5000 docs end of round 2: 5000/5000 on both plans
 (census completed=3837 partial=716 rejected_classification=295
 rejected_quality=152).
+Re-run end of round 5, after the single-dataflow heavy-gate rewrite
+(rejected docs ride blanked-spans metadata rows instead of a filter +
+union branch): 2000/2000 on both plans, census unchanged
+(completed=1534 partial=284 rejected_classification=120
+rejected_quality=62).
 """
 
 from __future__ import annotations
