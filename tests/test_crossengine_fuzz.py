@@ -221,3 +221,56 @@ def test_pagerank_parity_on_random_graphs(spark, seed):
     base = ((100 - G.DAMPING_PCT) * (G.SCALE // len(want))) // 100
     assert sum(got.values()) <= G.SCALE
     assert all(v >= base for v in got.values())
+
+
+@pytest.mark.parametrize("seed", [17, 404, 7321])
+def test_pack_sequences_parity_on_random_corpora(spark, seed):
+    """Sequence packing against its DuckDB manifest twin on adversarial
+    corpora the driver tables never contain: NULL / empty /
+    whitespace-only texts (must vanish from the manifest on BOTH
+    engines), one-token docs, giant docs spanning many sequences, and
+    tab/newline/multi-space runs where whitespace tokenization drifts —
+    at a random seq_len.  Value parity plus the gap-free tiling
+    invariant re-checked on the fuzz corpus."""
+    from ocr_documents_spark.operators import packing as PK
+    rng = random.Random(seed)
+    L = rng.randrange(8, 65)
+    rows, did = [], 0
+    for _ in range(rng.randrange(25, 45)):
+        roll = rng.random()
+        if roll < 0.12:
+            text = rng.choice([None, "", " ", " \t ", "\n\n", "  \r\n "])
+        elif roll < 0.22:
+            text = rng.choice(WORDS)                     # single token
+        elif roll < 0.32:                                # giant doc
+            k = rng.randrange(3 * L, 6 * L)
+            text = rng.choice(SEPS).join(rng.choice(WORDS)
+                                         for _ in range(k))
+        else:
+            k = rng.randrange(1, 2 * L)
+            sep = rng.choice(SEPS + ["\n", " \n "])
+            text = sep.join(rng.choice(WORDS) for _ in range(k))
+        rows.append((did, text))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    manifest = PK.pack_sequences(df, L).collect()
+    got = sorted((r["seq_id"], r["doc_id"], r["doc_start"],
+                  r["seq_start"], r["n_tok"]) for r in manifest)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in
+                  con.execute(PK.duckdb_pack_sql(L)).fetchall())
+    assert got == want and len(got) > 0
+    seqs = {}
+    for sid, _, _, start, n in got:
+        seqs.setdefault(sid, []).append((start, n))
+    last = max(seqs)
+    assert set(seqs) == set(range(last + 1))
+    for sid, sl in seqs.items():
+        sl.sort()
+        pos = 0
+        for start, n in sl:
+            assert start == pos and n > 0
+            pos += n
+        assert pos == L or (sid == last and 0 < pos <= L)
