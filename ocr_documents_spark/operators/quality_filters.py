@@ -232,3 +232,85 @@ def quality_filter_report(docs: DataFrame,
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+# --- DuckDB twins (house style: the exact oracle lives next to the
+# operator so every test and fuzz pass shares one definition) ---------
+
+def duckdb_line_repetition_sql(table: str = "docs") -> str:
+    """Exact twin of :func:`line_repetition_metrics` over
+    ``table(doc_id, text)``."""
+    return f"""
+        WITH lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM {table}),
+        nz AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
+        per AS (SELECT doc_id, line, count(*) AS occ,
+                       length(line) AS len
+                FROM nz GROUP BY 1, 2)
+        SELECT doc_id, sum(occ)::BIGINT AS n_lines,
+               round(sum(occ - 1) * 1.0 / sum(occ), 6) AS dup_line_frac,
+               round(sum((occ - 1) * len) * 1.0 / sum(occ * len), 6)
+                   AS dup_line_char_frac
+        FROM per GROUP BY doc_id"""
+
+
+def duckdb_top_ngram_sql(n: int = 2, table: str = "docs") -> str:
+    """Exact twin of :func:`top_ngram_char_fraction`: same ws-regex word
+    split, same claimed-chars arithmetic (occ * (gram chars minus the
+    n-1 joining spaces)), same lexicographic tiebreak."""
+    gram_expr = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(n))
+    return rf"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS ws
+            FROM {table}),
+        t AS (SELECT doc_id, ws,
+                     list_sum(list_transform(ws, x -> length(x)))
+                         AS total_chars
+              FROM w WHERE len(ws) >= {n}),
+        g AS (SELECT doc_id, total_chars,
+                     unnest(list_transform(range(len(ws) - {n - 1}),
+                            i -> {gram_expr})) AS gram
+              FROM t),
+        per AS (SELECT doc_id, total_chars, gram, count(*) AS occ
+                FROM g GROUP BY 1, 2, 3),
+        c AS (SELECT doc_id, gram,
+                     round(occ * (length(gram) - {n - 1}) * 1.0
+                           / total_chars, 6) AS frac,
+                     row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY occ * (length(gram) - {n - 1}) DESC,
+                                  gram ASC) AS rk
+              FROM per)
+        SELECT doc_id, gram AS top_ngram, frac AS top_ngram_char_frac
+        FROM c WHERE rk = 1"""
+
+
+def duckdb_c4_line_filter_sql(min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+                              table: str = "docs") -> str:
+    """Exact twin of :func:`c4_line_filter`.  Words inside a line split
+    on the SHARED ws tokenizer (regex \\s+), exactly like the operator —
+    a space-only split would count a tab-joined pair as one word and
+    flip the keep decision for that line."""
+    return rf"""
+        WITH lines AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM {table}),
+        scored AS (
+            SELECT *, regexp_matches(trim(line), '[.!?"'']$')
+                      AND len(list_filter(
+                              regexp_split_to_array(line, '\s+'),
+                              x -> x <> '')) >= {min_words_per_line}
+                          AS keep
+            FROM lines)
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS clean_text,
+               sum(keep::INT)::BIGINT AS n_kept_lines,
+               sum((NOT keep)::INT)::BIGINT AS n_dropped_lines
+        FROM scored GROUP BY doc_id"""

@@ -274,3 +274,64 @@ def test_pack_sequences_parity_on_random_corpora(spark, seed):
             assert start == pos and n > 0
             pos += n
         assert pos == L or (sid == last and 0 < pos <= L)
+
+
+@pytest.mark.parametrize("seed", [29, 653, 8101])
+def test_quality_filters_parity_on_random_corpora(spark, seed):
+    """The three twin-backed quality metrics (line repetition, top
+    n-gram char fraction, C4 line clean) on adversarial random corpora:
+    repeated lines, tab-joined words INSIDE lines (where a space-only
+    oracle split miscounts words and flips the C4 keep decision —
+    the builder uses the shared \\s+ tokenizer exactly like the
+    operator), blank/whitespace lines, missing terminal punctuation,
+    dominant repeated grams."""
+    from ocr_documents_spark.operators import quality_filters as QF
+    rng = random.Random(seed)
+    rows = []
+    for d in range(rng.randrange(25, 40)):
+        lines = []
+        for _ in range(rng.randrange(1, 9)):
+            roll = rng.random()
+            if roll < 0.25:
+                lines.append(rng.choice(REPEATED) + ".")
+            elif roll < 0.35:
+                lines.append(rng.choice(["", " ", "\t", "   "]))
+            elif roll < 0.5:          # tab-joined words, random ending
+                k = rng.randrange(1, 7)
+                lines.append("\t".join(rng.choice(WORDS[:10])
+                                       for _ in range(k))
+                             + rng.choice([".", "!", "?", "", " "]))
+            elif roll < 0.6:          # dominant repeated gram
+                gram = f"{rng.choice(WORDS[:6])} {rng.choice(WORDS[:6])}"
+                lines.append(((gram + " ") * rng.randrange(3, 9)).strip()
+                             + ".")
+            else:
+                k = rng.randrange(1, 10)
+                lines.append(" ".join(rng.choice(WORDS[:12])
+                                      for _ in range(k))
+                             + rng.choice([".", "", "'", '"']))
+        rows.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"],
+                         r["dup_line_char_frac"])
+           for r in QF.line_repetition_metrics(df).collect()}
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        QF.duckdb_line_repetition_sql()).fetchall()}
+    assert got == want
+
+    got = {r["doc_id"]: (r["top_ngram"], r["top_ngram_char_frac"])
+           for r in QF.top_ngram_char_fraction(df, 2).collect()}
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        QF.duckdb_top_ngram_sql(2)).fetchall()}
+    assert got == want
+
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept_lines"],
+                         r["n_dropped_lines"])
+           for r in QF.c4_line_filter(df).collect()}
+    want = {r[0]: (r[1] or "", r[2], r[3]) for r in con.execute(
+        QF.duckdb_c4_line_filter_sql()).fetchall()}
+    assert got == want

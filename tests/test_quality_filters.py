@@ -45,18 +45,8 @@ def test_line_repetition_vs_oracle(docs, duck):
     got = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"],
                          r["dup_line_char_frac"])
            for r in QF.line_repetition_metrics(docs).collect()}
-    want = {r[0]: (r[1], r[2], r[3]) for r in duck.execute("""
-        WITH lines AS (
-            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-            FROM docs),
-        nz AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
-        per AS (SELECT doc_id, line, count(*) AS occ,
-                       length(line) AS len
-                FROM nz GROUP BY 1, 2)
-        SELECT doc_id, sum(occ)::BIGINT,
-               round(sum(occ - 1) * 1.0 / sum(occ), 6),
-               round(sum((occ - 1) * len) * 1.0 / sum(occ * len), 6)
-        FROM per GROUP BY doc_id""").fetchall()}
+    want = {r[0]: (r[1], r[2], r[3]) for r in duck.execute(
+        QF.duckdb_line_repetition_sql()).fetchall()}
     assert got == want
     assert got[1][1] == 0.5  # 2 of 4 line occurrences are repeats
 
@@ -64,31 +54,8 @@ def test_line_repetition_vs_oracle(docs, duck):
 def test_top_ngram_char_fraction_vs_oracle(docs, duck):
     got = {r["doc_id"]: (r["top_ngram"], r["top_ngram_char_frac"])
            for r in QF.top_ngram_char_fraction(docs, 2).collect()}
-    want = {r[0]: (r[1], r[2]) for r in duck.execute(r"""
-        WITH w AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(text, '\s+'),
-                               x -> x <> '') AS ws
-            FROM docs),
-        t AS (SELECT doc_id, ws,
-                     list_sum(list_transform(ws, x -> length(x)))
-                         AS total_chars
-              FROM w WHERE len(ws) >= 2),
-        g AS (SELECT doc_id, total_chars,
-                     unnest(list_transform(range(len(ws) - 1),
-                            i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
-              FROM t),
-        per AS (SELECT doc_id, total_chars, gram, count(*) AS occ
-                FROM g GROUP BY 1, 2, 3),
-        c AS (SELECT doc_id, gram,
-                     round(occ * (length(gram) - 1) * 1.0 / total_chars, 6)
-                         AS frac,
-                     row_number() OVER (
-                         PARTITION BY doc_id
-                         ORDER BY occ * (length(gram) - 1) DESC, gram ASC)
-                         AS rk
-              FROM per)
-        SELECT doc_id, gram, frac FROM c WHERE rk = 1""").fetchall()}
+    want = {r[0]: (r[1], r[2]) for r in duck.execute(
+        QF.duckdb_top_ngram_sql(2)).fetchall()}
     assert got == want
     assert got[2][0] in ("click here", "here click")
     assert got[2][1] > 0.7  # the spam doc is dominated by one 2-gram
@@ -98,23 +65,8 @@ def test_c4_line_filter_vs_oracle(docs, duck):
     got = {r["doc_id"]: (r["clean_text"], r["n_kept_lines"],
                          r["n_dropped_lines"])
            for r in QF.c4_line_filter(docs).collect()}
-    want = {r[0]: (r[1] or "", r[2], r[3]) for r in duck.execute(r"""
-        WITH lines AS (
-            SELECT doc_id,
-                   generate_subscripts(string_split(text, chr(10)), 1)
-                       AS pos,
-                   unnest(string_split(text, chr(10))) AS line
-            FROM docs),
-        scored AS (
-            SELECT *, regexp_matches(trim(line), '[.!?"'']$')
-                      AND len(list_filter(string_split(line, ' '),
-                              x -> x <> '')) >= 3 AS keep
-            FROM lines)
-        SELECT doc_id,
-               coalesce(string_agg(line, chr(10) ORDER BY pos)
-                        FILTER (WHERE keep), '') AS clean_text,
-               sum(keep::INT)::BIGINT, sum((NOT keep)::INT)::BIGINT
-        FROM scored GROUP BY doc_id""").fetchall()}
+    want = {r[0]: (r[1] or "", r[2], r[3]) for r in duck.execute(
+        QF.duckdb_c4_line_filter_sql()).fetchall()}
     assert got == want
     assert got[4] == ("", 0, 3)          # no line survives
     assert got[0][1] == 3 and got[0][2] == 0
