@@ -335,3 +335,69 @@ def test_quality_filters_parity_on_random_corpora(spark, seed):
     want = {r[0]: (r[1] or "", r[2], r[3]) for r in con.execute(
         QF.duckdb_c4_line_filter_sql()).fetchall()}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [31, 777, 6203])
+def test_decontaminate_parity_on_random_corpora(spark, seed):
+    """Benchmark decontamination on random corpora + eval sets mixing
+    verbatim corpus chunks (guaranteed k-gram hits), one-word
+    perturbations (hit-adjacent misses), and fresh text: the
+    contamination report, the any-hit drop set (broadcast AND shuffle
+    modes — proven identical on arbitrary data, not just the engineered
+    frames), and the overlap-fraction rule at a random ppm must all
+    match the DuckDB twins value-for-value."""
+    from ocr_documents_spark.operators import decontaminate as DC
+    rng = random.Random(seed)
+    k = rng.choice([3, 4, 5])
+    docs = []
+    for d in range(rng.randrange(20, 35)):
+        n = rng.randrange(1, 30)
+        docs.append((d, " ".join(rng.choice(WORDS[:14])
+                                 for _ in range(n))))
+    bench, bid = [], 10**6
+    for _ in range(rng.randrange(4, 9)):
+        roll = rng.random()
+        src = rng.choice(docs)[1].split(" ")
+        if roll < 0.4 and len(src) >= k:
+            i = rng.randrange(0, len(src) - k + 1)
+            j = i + rng.randrange(k, min(len(src) - i, 2 * k) + 1)
+            bench.append((bid, " ".join(src[i:j])))
+        elif roll < 0.7 and len(src) > k:
+            chunk = list(src[:k + 2])
+            chunk[rng.randrange(len(chunk))] = "PERTURBED"
+            bench.append((bid, " ".join(chunk)))
+        else:
+            bench.append((bid, " ".join(
+                rng.choice(["fresh1", "fresh2", "fresh3"])
+                for _ in range(rng.randrange(1, 10)))))
+        bid += 1
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bench_id long, text string")
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs,
+                                           columns=["doc_id", "text"]))
+    con.register("bench", pd.DataFrame(bench,
+                                       columns=["bench_id", "text"]))
+
+    got_rep = {r["doc_id"]: (r["n_hit_grams"], tuple(r["sample_hits"]))
+               for r in DC.contamination_report(ddf, bdf, k).collect()}
+    want_rep = {r[0]: (r[1], tuple(r[2])) for r in con.execute(
+        DC.duckdb_contamination_sql(k)).fetchall()}
+    assert got_rep == want_rep
+
+    kept_bc = sorted(r["doc_id"] for r in
+                     DC.decontaminate(ddf, bdf, k).collect())
+    kept_sh = sorted(r["doc_id"] for r in
+                     DC.decontaminate(ddf, bdf, k,
+                                      mode="shuffle").collect())
+    want_kept = sorted(d for d, _ in docs if d not in want_rep)
+    assert kept_bc == want_kept
+    assert kept_sh == want_kept
+
+    ppm = rng.choice([1, 250_000, 700_000, 999_999])
+    got_ppm = sorted(r["doc_id"] for r in DC.decontaminate(
+        ddf, bdf, k, max_overlap_ppm=ppm).collect())
+    want_ppm = sorted(r[0] for r in con.execute(
+        DC.duckdb_fraction_kept_sql(k, ppm)).fetchall())
+    assert got_ppm == want_ppm
