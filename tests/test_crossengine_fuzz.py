@@ -401,3 +401,68 @@ def test_decontaminate_parity_on_random_corpora(spark, seed):
     want_ppm = sorted(r[0] for r in con.execute(
         DC.duckdb_fraction_kept_sql(k, ppm)).fetchall())
     assert got_ppm == want_ppm
+
+
+@pytest.mark.parametrize("seed", [41, 512, 9007])
+def test_zorder_key_parity_on_random_tables(spark, seed):
+    """Morton keys on random integer tables — negative values, constant
+    columns (span clamp), 2 and 3 dims, random bit widths — must equal
+    the DuckDB twin's unrolled arithmetic exactly for every row."""
+    from ocr_documents_spark.operators import zorder as Z
+    import pandas as pd
+    rng = random.Random(seed)
+    n_cols = rng.choice([2, 3])
+    bits = rng.choice([4, 6, 8])
+    cols = [f"c{i}" for i in range(n_cols)]
+    n = rng.randrange(60, 140)
+    data = {"rid": list(range(n))}
+    for i, c in enumerate(cols):
+        if i == n_cols - 1 and rng.random() < 0.4:
+            v = rng.randrange(-50, 50)
+            data[c] = [v] * n                       # constant column
+        else:
+            lo = rng.randrange(-10**6, 0)
+            hi = rng.randrange(1, 10**6)
+            data[c] = [rng.randrange(lo, hi) for _ in range(n)]
+    pdf = pd.DataFrame(data)
+    df = spark.createDataFrame(pdf)
+    got = {r["rid"]: r["z"]
+           for r in Z.zorder_key(df, cols, bits=bits).collect()}
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {r[0]: r[-1] for r in con.execute(
+        Z.duckdb_zorder_sql("t", cols, bits=bits)).fetchall()}
+    assert got == want and len(got) == n
+
+
+@pytest.mark.parametrize("seed", [59, 610, 4242])
+def test_domain_sample_parity_on_random_weights(spark, seed):
+    """Deterministic Bernoulli mixing on random weight tables — weights
+    at 0.0 and 1.0, unknown domains riding the default, NULL domains,
+    sparse large doc_ids, a random salt — kept-id parity vs the twin."""
+    from ocr_documents_spark.operators import mixing as MX
+    rng = random.Random(seed)
+    domains = [f"d{i}" for i in range(6)]
+    weights = {d: rng.choice([0.0, 0.15, 0.5, 0.85, 1.0])
+               for d in rng.sample(domains, 4)}   # two domains unknown
+    default_w = rng.choice([0.0, 0.3])
+    salt = rng.choice(["", "r5", "epoch2"])
+    rows = []
+    for _ in range(rng.randrange(80, 150)):
+        did = rng.randrange(0, 10**12)
+        src = rng.choice(domains + [None])
+        rows.append((did, src))
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(r["doc_id"] for r in MX.domain_weighted_sample(
+        df, weights, default_weight=default_w, salt=salt).collect())
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "source"]))
+    want = sorted(r[0] for r in con.execute(MX.duckdb_sample_sql(
+        weights, default_weight=default_w, salt=salt)).fetchall())
+    assert got == want
+    if any(v == 1.0 for v in weights.values()):
+        full = {d for d, v in weights.items() if v == 1.0}
+        keep = set(got)
+        assert all(i in keep for i, s in rows if s in full)
