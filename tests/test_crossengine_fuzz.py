@@ -466,3 +466,52 @@ def test_domain_sample_parity_on_random_weights(spark, seed):
         full = {d for d, v in weights.items() if v == 1.0}
         keep = set(got)
         assert all(i in keep for i, s in rows if s in full)
+
+
+@pytest.mark.parametrize("seed", [67, 1201])
+def test_semantic_dedup_parity_on_random_vectors(spark, seed):
+    """Flat SemDeDup on random float32-EXACT vectors (multiples of 1/64,
+    so the Spark float32 column and the DuckDB double view hold
+    identical values and every downstream double operation agrees
+    bit-for-bit) with planted exact copies and one-coordinate
+    perturbations: full (vec_id, group_id, group_size, is_canonical)
+    parity vs the unrolled k-means + closure twin, plus the planted
+    pairs must actually group."""
+    from ocr_documents_spark.operators import semdedup as SM
+    rng = random.Random(seed)
+    dim, n_base = 8, 440            # covers every INIT_IDS seed id
+    grid = [i / 64.0 for i in range(-128, 129)]
+    rows = []
+    for v in range(n_base):
+        vec = [rng.choice(grid) for _ in range(dim)]
+        vec[0] = rng.choice([g for g in grid if abs(g) >= 0.5])  # no 0-vec
+        rows.append((v, vec))
+    planted = []
+    for _ in range(25):
+        src_id, src_vec = rng.choice(rows[:n_base])
+        nid = 10_000 + len(planted)
+        if rng.random() < 0.5:
+            nv = list(src_vec)                       # exact copy, cos=1
+        else:
+            nv = list(src_vec)
+            j = rng.randrange(1, dim)
+            nv[j] = nv[j] + rng.choice([-1, 1]) / 64.0
+        planted.append((nid, src_id))
+        rows.append((nid, nv))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+           for r in SM.semantic_dedup_groups(df).collect()}
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("emb_fuzz", pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in rows],
+        columns=["vec_id", "embedding"]))
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        SM.duckdb_semantic_dedup_sql(
+            "SELECT vec_id, embedding FROM emb_fuzz")).fetchall()}
+    assert got == want
+    # planted near-dups group under their source unless they straddled a
+    # cell boundary (the paper's recall trade) — most must group
+    grouped = sum(1 for nid, src in planted
+                  if got[nid][0] == got[src][0])
+    assert grouped >= len(planted) * 2 // 3, grouped
