@@ -515,3 +515,68 @@ def test_semantic_dedup_parity_on_random_vectors(spark, seed):
     grouped = sum(1 for nid, src in planted
                   if got[nid][0] == got[src][0])
     assert grouped >= len(planted) * 2 // 3, grouped
+
+
+@pytest.mark.parametrize("seed", [73, 3301])
+def test_semantic_decontaminate_parity_on_random_vectors(spark, seed):
+    """Embedding-space decontamination on the same float32-exact 1/64
+    grid: eval sets mixing exact corpus copies, one-coordinate
+    perturbations, and fresh vectors — kept-id parity (broadcast twin),
+    report parity (hit counts + max cosine), and broadcast ≡ cells-mode
+    (seed_by_hash, arbitrary id space) on random data."""
+    from ocr_documents_spark.operators import (semantic_decontaminate
+                                               as SD)
+    rng = random.Random(seed)
+    dim = 8
+    grid = [i / 64.0 for i in range(-128, 129)]
+
+    def rand_vec():
+        v = [rng.choice(grid) for _ in range(dim)]
+        v[0] = rng.choice([g for g in grid if abs(g) >= 0.5])
+        return v
+
+    corpus = [(100_000 + i, rand_vec()) for i in range(150)]
+    evals = []
+    for j in range(rng.randrange(5, 12)):
+        roll = rng.random()
+        src = rng.choice(corpus)[1]
+        if roll < 0.4:
+            ev = list(src)                          # exact leak
+        elif roll < 0.7:
+            ev = list(src)
+            ev[rng.randrange(1, dim)] += rng.choice([-1, 1]) / 64.0
+        else:
+            ev = rand_vec()                         # fresh
+        evals.append((500_000 + j, ev))
+    cdf = spark.createDataFrame(corpus,
+                                "vec_id long, embedding array<float>")
+    edf = spark.createDataFrame(evals,
+                                "vec_id long, embedding array<float>")
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("cf", pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in corpus],
+        columns=["vec_id", "embedding"]))
+    con.register("ef", pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in evals],
+        columns=["vec_id", "embedding"]))
+    c_sql = "SELECT vec_id, embedding FROM cf"
+    e_sql = "SELECT vec_id, embedding FROM ef"
+
+    kept_bc = sorted(r["vec_id"] for r in
+                     SD.semantic_decontaminate(cdf, edf).collect())
+    want_kept = sorted(r[0] for r in con.execute(
+        SD.duckdb_semantic_kept_sql(c_sql, e_sql)).fetchall())
+    assert kept_bc == want_kept
+    assert len(kept_bc) < len(corpus)      # the planted leaks dropped
+
+    got_rep = {r["vec_id"]: (r["n_eval_hits"], r["max_cos"]) for r in
+               SD.semantic_contamination_report(cdf, edf).collect()}
+    want_rep = {r[0]: (r[1], r[2]) for r in con.execute(
+        SD.duckdb_semantic_report_sql(c_sql, e_sql)).fetchall()}
+    assert got_rep == want_rep
+
+    kept_cells = sorted(r["vec_id"] for r in SD.semantic_decontaminate(
+        cdf, edf, mode="cells", nprobe=8,
+        seed_by_hash=True).collect())      # nprobe=k: full probe ≡ brute
+    assert kept_cells == want_kept
