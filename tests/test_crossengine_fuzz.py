@@ -580,3 +580,58 @@ def test_semantic_decontaminate_parity_on_random_vectors(spark, seed):
         cdf, edf, mode="cells", nprobe=8,
         seed_by_hash=True).collect())      # nprobe=k: full probe ≡ brute
     assert kept_cells == want_kept
+
+
+@pytest.mark.parametrize("seed", [83, 5501, 12007])
+def test_pii_scrub_parity_on_random_corpora(spark, seed):
+    """PII redaction byte-parity on random text mixing generated
+    emails/IPs/phones/digit-runs with near-miss shapes (short digit
+    runs, dotted non-IPs, @-signs without domains) at random positions
+    and separators — where Java-regex vs RE2 semantics classically
+    drift.  The census must stay consistent with the redaction
+    (sum of counts == substitutions performed)."""
+    from ocr_documents_spark.operators import pii as P
+    import pandas as pd
+    rng = random.Random(seed)
+
+    def pii_token():
+        roll = rng.random()
+        if roll < 0.25:
+            return (f"{rng.choice(['a.b', 'x_1', 'no-reply'])}"
+                    f"@{rng.choice(['ex.com', 'm.co.uk', 'a-b.org'])}")
+        if roll < 0.45:
+            return ".".join(str(rng.randrange(0, 999)) for _ in range(4))
+        if roll < 0.65:
+            return (f"+{rng.randrange(1, 99)} "
+                    f"({rng.randrange(10, 9999)}) "
+                    f"{rng.randrange(100, 999)}-{rng.randrange(100, 9999)}")
+        if roll < 0.8:
+            return str(rng.randrange(10**9, 10**14))    # long digit run
+        return rng.choice([          # near-misses that must NOT redact
+            str(rng.randrange(10, 10**8)), "a@b", "1.2.3",
+            "word@", "@domain.com"[1:], "1-2-3"])
+
+    rows = []
+    for d in range(rng.randrange(30, 50)):
+        parts = []
+        for _ in range(rng.randrange(1, 12)):
+            if rng.random() < 0.45:
+                parts.append(pii_token())
+            else:
+                parts.append(rng.choice(WORDS[:12]))
+        rows.append((d, rng.choice([" ", "  ", "\n", ", "]).join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in P.scrub_corpus(df).select("doc_id",
+                                              "clean_text").collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows,
+                                           columns=["doc_id", "text"]))
+    want = dict(con.execute(P.duckdb_scrub_sql()).fetchall())
+    assert got == want
+    census = {r["doc_id"]: r for r in P.pii_census(df).collect()}
+    for d, text in rows:
+        subs = sum(got[d].count(tok) for _, _, tok in P.PII_RULES)
+        c = census[d]
+        assert (c["n_email"] + c["n_ip"] + c["n_phone"]
+                + c["n_digits"]) == subs, d
