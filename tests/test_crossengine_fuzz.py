@@ -635,3 +635,50 @@ def test_pii_scrub_parity_on_random_corpora(spark, seed):
         c = census[d]
         assert (c["n_email"] + c["n_ip"] + c["n_phone"]
                 + c["n_digits"]) == subs, d
+
+
+@pytest.mark.parametrize("seed", [97, 2213, 15101])
+def test_blocklist_parity_on_random_corpora(spark, seed):
+    """Phrase blocklist on random corpora where phrases appear exact,
+    punctuation-mangled (Bad-Word!), case-rotated, embedded inside
+    longer words (must NOT match — boundary semantics), and split
+    across newlines/tabs (MUST match — whitespace normalizes): flag
+    parity vs the twin plus report counts re-derived from the flags."""
+    from ocr_documents_spark.operators import blocklist as B
+    import pandas as pd
+    rng = random.Random(seed)
+    phrases = ["bad word", "Spam-Phrase", "junk"]
+    norm = ["bad word", "junk", "spam phrase"]
+
+    def mention():
+        roll = rng.random()
+        if roll < 0.2:
+            return rng.choice(["bad word", "junk", "spam phrase"])
+        if roll < 0.4:
+            return rng.choice(["Bad-Word!", "JUNK.", "spam_phrase",
+                               "bad\tword", "spam\nphrase"])
+        if roll < 0.6:                      # embedded: must NOT flag
+            return rng.choice(["junkyard", "badword", "nonjunk",
+                               "spamphrase", "wordbad"])
+        return " ".join(rng.choice(WORDS[:10])
+                        for _ in range(rng.randrange(1, 6)))
+
+    rows = [(d, rng.choice([" ", ", ", "\n"]).join(
+                mention() for _ in range(rng.randrange(1, 8))))
+            for d in range(rng.randrange(30, 50))]
+    if rng.random() < 0.5:
+        rows.append((len(rows), None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["blocked"]
+           for r in B.flag_blocklisted(df, phrases).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows,
+                                           columns=["doc_id", "text"]))
+    want = dict(con.execute(
+        B.duckdb_blocklist_sql("documents", phrases)).fetchall())
+    assert got == want
+    assert any(got.values()) and not all(got.values())
+    rep = {r["phrase"]: r["n_docs"]
+           for r in B.blocklist_report(df, phrases).collect()}
+    assert set(rep) == set(norm)
+    assert sum(rep.values()) >= sum(got.values())   # multi-phrase docs
