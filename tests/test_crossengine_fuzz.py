@@ -682,3 +682,36 @@ def test_blocklist_parity_on_random_corpora(spark, seed):
            for r in B.blocklist_report(df, phrases).collect()}
     assert set(rep) == set(norm)
     assert sum(rep.values()) >= sum(got.values())   # multi-phrase docs
+
+
+@pytest.mark.parametrize("seed", [101, 7717])
+def test_pq_rerank_parity_on_random_vectors(spark, seed):
+    """The full PQ train→encode→ADC-shortlist→exact-rerank pipeline on
+    float32-exact random 64-dim vectors (1/64 grid, ids covering every
+    PQ_INIT_IDS seed): (query_id, neighbor_id, cos, rank) parity vs the
+    unrolled DuckDB twin — sub-codebook training, 4-bit encoding, and
+    asymmetric-distance shortlist selection all agree on arbitrary
+    data, not just the fixture corpus."""
+    from ocr_documents_spark.operators import pq as PQ
+    import pandas as pd
+    import pyspark.sql.functions as F
+    rng = random.Random(seed)
+    dim, n = 64, 480
+    grid = [i / 64.0 for i in range(-64, 65)]
+    rows = []
+    for v in range(n):
+        vec = [rng.choice(grid) for _ in range(dim)]
+        vec[0] = rng.choice([g for g in grid if abs(g) >= 0.5])
+        rows.append((v, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in PQ.pq_rerank_topk(df, F.col("vec_id") < 5,
+                                   F.col("vec_id") >= 5).collect())
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in rows],
+        columns=["vec_id", "embedding"]))
+    want = sorted(tuple(r) for r in con.execute(
+        PQ.duckdb_pq_rerank_sql(dim)).fetchall())
+    assert got == want and len(got) == 15
