@@ -715,3 +715,56 @@ def test_pq_rerank_parity_on_random_vectors(spark, seed):
     want = sorted(tuple(r) for r in con.execute(
         PQ.duckdb_pq_rerank_sql(dim)).fetchall())
     assert got == want and len(got) == 15
+
+
+@pytest.mark.parametrize("seed", [109, 9901])
+def test_ivf_full_probe_parity_on_random_vectors(spark, seed):
+    """Trained-IVF at full probe width on float32-exact random vectors
+    must equal the exact brute-force top-k computed in DuckDB (same
+    4-decimal cosine rounding, same (cos desc, neighbor_id asc) tie
+    rule) — the recall/scan-fraction dial degenerates to exact on
+    arbitrary data, independent of what k-means learned."""
+    from ocr_documents_spark.operators.ivf import K_CELLS, ivf_topk
+    import pandas as pd
+    import pyspark.sql.functions as F
+    rng = random.Random(seed)
+    dim, n = 16, 450                 # ids cover every INIT_IDS seed
+    grid = [i / 64.0 for i in range(-64, 65)]
+    rows = []
+    for v in range(n):
+        vec = [rng.choice(grid) for _ in range(dim)]
+        vec[0] = rng.choice([g for g in grid if abs(g) >= 0.5])
+        rows.append((v, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted((r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                 for r in ivf_topk(df, F.col("vec_id") < 5,
+                                   F.col("vec_id") >= 5,
+                                   nprobe=K_CELLS).collect())
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in rows],
+        columns=["vec_id", "embedding"]))
+    want = sorted(tuple(r) for r in con.execute("""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE))
+                       AS embedding
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.embedding, c.embedding)
+                         / (sqrt(list_dot_product(q.embedding,
+                                                  q.embedding))
+                            * sqrt(list_dot_product(c.embedding,
+                                                    c.embedding))), 4)
+                       + 0.0 AS cos
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id < 5 AND c.vec_id >= 5
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= 3""").fetchall())
+    assert got == want and len(got) == 15
