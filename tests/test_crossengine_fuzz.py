@@ -323,11 +323,12 @@ def test_quality_filters_parity_on_random_corpora(spark, seed):
         QF.duckdb_line_repetition_sql()).fetchall()}
     assert got == want
 
-    got = {r["doc_id"]: (r["top_ngram"], r["top_ngram_char_frac"])
-           for r in QF.top_ngram_char_fraction(df, 2).collect()}
-    want = {r[0]: (r[1], r[2]) for r in con.execute(
-        QF.duckdb_top_ngram_sql(2)).fetchall()}
-    assert got == want
+    for n in (2, 3):            # the builder parametrizes gram width
+        got = {r["doc_id"]: (r["top_ngram"], r["top_ngram_char_frac"])
+               for r in QF.top_ngram_char_fraction(df, n).collect()}
+        want = {r[0]: (r[1], r[2]) for r in con.execute(
+            QF.duckdb_top_ngram_sql(n)).fetchall()}
+        assert got == want, n
 
     got = {r["doc_id"]: (r["clean_text"], r["n_kept_lines"],
                          r["n_dropped_lines"])
