@@ -17,7 +17,8 @@ Re-run end of round 5, after the single-dataflow heavy-gate rewrite
 (rejected docs ride blanked-spans metadata rows instead of a filter +
 union branch): 2000/2000 on both plans, census unchanged
 (completed=1534 partial=284 rejected_classification=120
-rejected_quality=62).
+rejected_quality=62); widened to 5000/5000 on both plans with the
+round-2 census (3837/716/295/152) reproduced exactly.
 """
 
 from __future__ import annotations
