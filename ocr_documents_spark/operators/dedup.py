@@ -173,10 +173,16 @@ def shingled_docs(docs: DataFrame, shingle_n: int = SHINGLE_N) -> DataFrame:
     docstring); the emptiness filter rides the cheap words column so it
     cannot be pushed below the exchange and re-inline the n-gram builder.
     """
+    from ..functions.fanout import cpu_parts
     return (docs
             .select("doc_id", words_col().alias("words"))
             .filter(F.size("words") >= shingle_n)
-            .repartition("doc_id")
+            # EXPLICIT partition count: the words column is byte-small,
+            # so a keyed repartition with no count is AQE-coalescible to
+            # one partition — serializing the CPU-heavy shingle+minhash
+            # stage this barrier feeds (layout.py precedent; user counts
+            # are exempt from AQE coalescing)
+            .repartition(cpu_parts(docs), "doc_id")
             .select("doc_id",
                     ngrams_over(F.col("words"), shingle_n).alias("shingles")))
 
@@ -262,8 +268,12 @@ def exact_classes(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     One shuffle (window over the fingerprint).
     """
+    from ..functions.fanout import fan_out
     w = Window.partitionBy("fp")
-    return (docs.select("doc_id", exact_fingerprint(text_col).alias("fp"))
+    # the fingerprint (split + rejoin + md5 per doc) evaluates map-side,
+    # before the fp shuffle — fan out a one-split input scan
+    return (fan_out(docs, "doc_id")
+            .select("doc_id", exact_fingerprint(text_col).alias("fp"))
             .withColumn("rep_id", F.min("doc_id").over(w))
             .select("doc_id", "rep_id"))
 

@@ -77,11 +77,15 @@ def duplicate_spans(docs: DataFrame, k: int = K_WORDS,
     the payload math and collision budget); the raw string exists only
     scan-side, inside the project the fingerprint collapses into.
     """
+    from ..functions.fanout import cpu_parts
     grams = (docs
              .select(id_col, ws_words_col(text_col).alias("ws"))
              .filter(F.size("ws") >= k)
-             .repartition(id_col)   # materialization barrier: stop
-             # Project-collapse re-inlining the split per gram element
+             # materialization barrier: stop Project-collapse re-inlining
+             # the split per gram element.  EXPLICIT count: a keyed
+             # repartition with no count is AQE-coalescible back to one
+             # partition, serializing the CPU-heavy gram+md5 stage
+             .repartition(cpu_parts(docs), id_col)
              .select(id_col,
                      F.posexplode(ngrams_over(F.col("ws"), k))
                      .alias("pos", "gram"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .extractors.boilerplate import CHUNK_WORDS as _BP_CHUNK
 from .extractors.boilerplate import MIN_TAIL_WORDS as _BP_TAIL
+from .functions.fanout import cpu_parts, fan_out
 from .functions.hashing import (SIMHASH_BITS, duckdb_simhash_select,
                                 md5_int60)
 from .functions.vectors import cosine, seeded_sign_bands, sign_bucket_dims
@@ -116,7 +117,10 @@ def q40_main_content(spark, sf_dir):
     counts reproduce the template arithmetic in pure SQL.  Plan shape:
     scan -> two Arrow stages -> project, zero shuffle."""
     from .operators.main_content import main_content_udf, synthesize_page_udf
-    docs = _t(spark, sf_dir, "documents")
+    # the per-row work here is a full HTML synthesize + shallow-DOM parse
+    # in Python — a single-split scan would serialize it onto one core
+    # (guide §2.5 input skew); fan_out is a no-op on a well-split lake
+    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     pages = docs.select(
         "doc_id",
         synthesize_page_udf("doc_id", "text", "lang").alias("html"))
@@ -213,7 +217,8 @@ BM25_TERMS = ("table", "scan", "merge")
 
 def _bm25_scored(spark, sf_dir) -> DataFrame:
     """(doc_id, bm25) for every document — shared by q44 and q49."""
-    docs = (_t(spark, sf_dir, "documents")
+    # per-row tokenize + 3 array scans: CPU-bound, fan out a one-split scan
+    docs = (fan_out(_t(spark, sf_dir, "documents"), "doc_id")
             .select("doc_id", F.split("text", " ").alias("words")))
     def _match(term):
         # closure factory: a default-arg lambda would have arity 2 and
@@ -385,7 +390,9 @@ def q45_bpe_pretokenize(spark, sf_dir):
     pretokenizer shape, over the JSON props strings (the only column
     with mixed punctuation).  Per-row regexp_extract_all (codegen) ->
     explode -> census."""
-    ev = _t(spark, sf_dir, "events")
+    # the regex extraction dominates and runs pre-shuffle — fan out a
+    # one-split scan so it is not single-task
+    ev = fan_out(_t(spark, sf_dir, "events"), "event_id")
     toks = ev.select(F.explode(
         F.regexp_extract_all("props", F.lit(BPE_PRETOKEN_RE), 0))
         .alias("token"))
@@ -447,7 +454,7 @@ def q07_customers_without_orders(spark, sf_dir):
 
 
 def q08_word_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     return (docs.select(F.explode(F.split("text", " ")).alias("word"))
             .filter(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
@@ -533,12 +540,19 @@ def q15_simhash(spark, sf_dir):
     # the Exchange materializes it so the 16 per-bit aggregates below fold
     # over the stored array instead of re-hashing every token 16 times
     from .functions.hashing import simhash_bit_votes, simhash_from_votes
-    docs = (_t(spark, sf_dir, "documents")
+    # fan_out BEFORE the per-word md5: the token hashing itself is the
+    # expensive map-side stage and must not ride a one-split scan
+    raw = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
+    docs = (raw
             .select("doc_id", _words_col().alias("words"))
             .filter(F.size("words") > 0)
             .select("doc_id",
                     F.transform("words", md5_int60).alias("th"))
-            .repartition("doc_id"))
+            # EXPLICIT count: the hash array is byte-tiny but the 16
+            # per-bit folds below are CPU-heavy — a keyed repartition
+            # with no count is AQE-coalescible right back to one
+            # partition (the layout.py precedent)
+            .repartition(cpu_parts(raw), "doc_id"))
     def voter(b):
         return lambda acc, h: acc + simhash_bit_votes(h, b)
 
@@ -596,11 +610,14 @@ def q38_simhash_neardup(spark, sf_dir):
     width = bits // bands
     raw = _t(spark, sf_dir, "documents")
     classes = D.exact_classes(raw).localCheckpoint()
-    docs = (D.representatives(raw, classes=classes)
+    # fan_out BEFORE the per-word md5 (see q15) — the representative
+    # semi-join preserves the scan's split count
+    docs = (fan_out(D.representatives(raw, classes=classes), "doc_id")
             .select("doc_id", _words_col().alias("words"))
             .filter(F.size("words") > 0)
             .select("doc_id", F.transform("words", md5_int60).alias("th"))
-            .repartition("doc_id"))
+            # explicit count: AQE-coalesce-exempt (see q15)
+            .repartition(cpu_parts(raw), "doc_id"))
     # sig is consumed three times (chunking + both sides of the verify
     # join-back) — materialize once
     sig = docs.select(
@@ -630,7 +647,7 @@ def q38_simhash_neardup(spark, sf_dir):
 
 
 def q17_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     return docs.select(
@@ -689,10 +706,12 @@ def q39_winnowed_fingerprints(spark, sf_dir):
     fingerprint rows are what a copy-detection index stores (guarantee:
     any shared substring of >= w+k-1 tokens shares a fingerprint)."""
     k, w, b, mod = _WIN_K, _WIN_W, _WIN_B, _WIN_MOD
-    docs = (_t(spark, sf_dir, "documents")
+    raw = _t(spark, sf_dir, "documents")
+    docs = (raw
             .select("doc_id", _words_col().alias("words"))
             .filter(F.size("words") >= k + w - 1)
-            .repartition("doc_id")
+            # explicit count: AQE-coalesce-exempt (see q15)
+            .repartition(cpu_parts(raw), "doc_id")
             .select("doc_id",
                     F.transform("words", lambda x: md5_int60(x) % mod)
                     .alias("th")))
@@ -724,7 +743,10 @@ def _emb(spark, sf_dir):
 def q21_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-3: the exact baseline every ANN variant is
     measured against.  Native zip_with/aggregate dot products (codegen)."""
-    emb = _emb(spark, sf_dir)
+    # the BroadcastNestedLoopJoin streams the candidate side: 5 full
+    # cosines per candidate row is CPU-bound work — fan out a one-split
+    # scan (no-op on a well-split lake)
+    emb = fan_out(_emb(spark, sf_dir), "vec_id")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     c = emb.filter(F.col("vec_id") >= 5).select(
@@ -1120,7 +1142,7 @@ def q48_tfidf_classifier(spark, sf_dir, materialize_dir: str | None = None):
     (vocabulary x labels), so at 100 TB only the doc-term explode
     shuffles.  The rules half is the reference-parity enhanced
     classifier (C2)."""
-    docs = (_t(spark, sf_dir, "documents")
+    docs = (fan_out(_t(spark, sf_dir, "documents"), "doc_id")
             .select("doc_id", "lang", F.explode(F.split("text", " "))
                     .alias("term")))
     # six downstream branches (idf, df, label sizes, train/test vectors)
