@@ -77,14 +77,14 @@ def extra_factories(spark, sf_dir):
         "semdedup": lambda: semantic_dedup_groups(emb_tbl),
         "semdedup_two_level": lambda: semantic_dedup_groups_two_level(
             emb_tbl),
-        "semdedup_assign": (lambda cbs=None: (lambda cbs2=train_two_level(
+        "semdedup_assign": (lambda cbs=train_two_level(
             emb_tbl, sub_k_for(emb_tbl.count())):
-            semantic_dedup_groups_two_level(emb_tbl, codebooks=cbs2))()),
+            semantic_dedup_groups_two_level(emb_tbl, codebooks=cbs)),
         "ivfpq_topk": lambda: ivfpq_topk(
             emb_tbl, F.col("vec_id") < 5, F.col("vec_id") >= 5),
-        "ivfpq_query": (lambda: (lambda index=build_ivfpq_index(
+        "ivfpq_query": (lambda index=build_ivfpq_index(
             emb_tbl, F.col("vec_id") >= 5):
-            ivfpq_query(index, emb_tbl.filter(F.col("vec_id") < 5)))()),
+            ivfpq_query(index, emb_tbl.filter(F.col("vec_id") < 5))),
         "decontaminate": lambda: decontaminate(bench_docs, eval_set, k=8),
         "semantic_decontaminate": lambda: semantic_decontaminate(
             emb_tbl,
@@ -96,9 +96,9 @@ def extra_factories(spark, sf_dir):
             tbl("documents"), {f"src{i}": 0.05 * i for i in range(20)}),
         "pack_sequences": lambda: pack_sequences(bench_docs, 2048),
         "line_dedup": lambda: remove_common_lines(bench_docs),
-        "bpe_encode": (lambda: (lambda merges=learn_bpe_merges(
+        "bpe_encode": (lambda merges=learn_bpe_merges(
             word_census(bench_docs, top_words=5000), 200):
-            encode_docs(bench_docs, merges))()),
+            encode_docs(bench_docs, merges)),
         "normalize_nfc": lambda: normalize_docs(bench_docs),
         "heavy_hitters": lambda: heavy_hitters(
             tbl("events").select("user_id"), "user_id", k=256),
@@ -111,21 +111,20 @@ def extra_factories(spark, sf_dir):
         "bloom_build": lambda: bloom_build(
             bench_docs.select(fingerprint15(F.col("text")).alias("key")),
             "key"),
-        "bloom_probe": (lambda: (lambda bitmap=bloom_words_to_bitmap(
-            bloom_build(bench_docs.select(
-                fingerprint15(F.col("text")).alias("key")), "key")):
-            with_bloom_maybe(
+        "bloom_probe": (lambda bitmap=bloom_words_to_bitmap(bloom_build(
+            bench_docs.select(fingerprint15(F.col("text")).alias("key")),
+            "key")): with_bloom_maybe(
                 bench_docs.select(
                     "doc_id", fingerprint15(F.col("text")).alias("key")),
-                bitmap, "key"))()),
+                bitmap, "key")),
         "classifier_train": lambda: train_linear_classifier(
             bench_docs.withColumn(
                 "label", (F.col("doc_id") % 2).cast("int")), iters=4),
-        "classifier_score": (lambda: (lambda w=train_linear_classifier(
+        "classifier_score": (lambda w=train_linear_classifier(
             bench_docs.withColumn(
                 "label", (F.col("doc_id") % 2).cast("int")),
             iters=4).localCheckpoint():
-            score_docs(bench_docs, w))()),
+            score_docs(bench_docs, w)),
         "token_budget_mix": lambda: token_budget_sample(
             tbl("documents").select("doc_id", "text", "source"),
             {f"src{i}": 2000 * (i + 1) for i in range(20)}),

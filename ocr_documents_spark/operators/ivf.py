@@ -78,14 +78,32 @@ def _dist2(v, c):
     return F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 4)
 
 
+def _cent_rows(cent: DataFrame) -> DataFrame:
+    """codebook(cell, cvec) -> ONE row holding array<struct<cell,cvec>>
+    (cell-sorted).  Broadcast-joined onto points so the nearest-cell
+    argmin runs as an in-row array fold — no row explosion, no
+    per-point window shuffle."""
+    return cent.agg(F.array_sort(
+        F.collect_list(F.struct("cell", "cvec"))).alias("__cbs"))
+
+
 def _nearest_cell(points: DataFrame, cent: DataFrame) -> DataFrame:
-    """points(vec_id, embedding) x cent(cell, cvec) -> + cell of nearest."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
-    return (points.crossJoin(F.broadcast(cent))
-            .withColumn("d2", _dist2(F.col("embedding"), F.col("cvec")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "embedding", "cell"))
+    """points(vec_id, embedding) x cent(cell, cvec) -> + cell of nearest.
+
+    The k-row codebook rides a one-row broadcast as an array column and
+    the argmin is ``array_min`` over struct(d2, cell) — struct ordering
+    IS (d2 ASC, cell ASC), the exact tie-break the previous
+    row_number-window formulation used, with the same rounded ``_dist2``
+    — so the assignment is value-identical while removing the k× row
+    blowup and the per-vec_id window shuffle (guide §2.4: remove
+    shuffles outright)."""
+    best = F.array_min(F.transform(
+        F.col("__cbs"),
+        lambda c: F.struct(
+            _dist2(F.col("embedding"), c["cvec"]).alias("d2"),
+            c["cell"].alias("cell"))))
+    return (points.crossJoin(F.broadcast(_cent_rows(cent)))
+            .select("vec_id", "embedding", best["cell"].alias("cell")))
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
@@ -132,9 +150,15 @@ def train_centroids(emb: DataFrame, init_ids: list[int] = None,
     the index build and every probe instead of re-training per consumer.
     """
     init_ids = INIT_IDS if init_ids is None else init_ids
+    from ..functions.fanout import fan_out
     e = _as_double(emb)
-    e_train = (e.filter(_train_sample_filter(sample_mod))
-               if sample_mod > 1 else e)
+    # materialize the training sample ONCE, spread across the cluster:
+    # every Lloyd's round otherwise re-scans the corpus and re-evaluates
+    # the per-row md5 sample predicate (iters x), and a one-split scan
+    # would serialize every assignment pass onto one core
+    e_train = (fan_out(e.filter(_train_sample_filter(sample_mod)),
+                       "vec_id").localCheckpoint()
+               if sample_mod > 1 else fan_out(e, "vec_id"))
     if seed_by_hash:
         cent = _hash_seeds(e, k)
     else:
@@ -166,26 +190,39 @@ def ivf_topk(emb: DataFrame, query_filter, candidate_filter,
     index build and the probe; pass ``centroids`` (cell, cvec) to reuse a
     codebook trained earlier — the production "train once, persist, serve
     every index build and query" path."""
+    from ..functions.fanout import fan_out
     e = _as_double(emb)
     cent = (centroids if centroids is not None
             else train_centroids(emb, iters=iters, sample_mod=sample_mod))
 
-    # INDEX: final cell assignment of the candidate corpus
-    cands = _nearest_cell(e.filter(candidate_filter), cent) \
+    # INDEX: final cell assignment of the candidate corpus (fan out a
+    # one-split scan: the per-point argmin fold is CPU-bound)
+    cands = _nearest_cell(fan_out(e.filter(candidate_filter), "vec_id"),
+                          cent) \
         .select(F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("cv"), "cell")
 
-    # PROBE: top-nprobe cells per query
-    q = e.filter(query_filter).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (q.crossJoin(F.broadcast(cent))
-              .withColumn("d2", _dist2(F.col("qv"), F.col("cvec")))
-              .withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe)
-              .select("query_id", "qv", "cell"))
+    # PROBE: top-nprobe cells per query — the cell ranking is an in-row
+    # array_sort over struct(d2, cell) (identical (d2 ASC, cell ASC)
+    # order) sliced to nprobe, replacing the crossJoin + row_number
+    # window; the probe table stays query_count x nprobe rows
+    ranked = F.transform(
+        F.slice(F.array_sort(F.transform(
+            F.col("__cbs"),
+            lambda c: F.struct(
+                _dist2(F.col("qv"), c["cvec"]).alias("d2"),
+                c["cell"].alias("cell")))), 1, nprobe),
+        lambda s: s["cell"])
+    q = (e.filter(query_filter)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"))
+         .crossJoin(F.broadcast(_cent_rows(cent)))
+         .select("query_id", "qv", F.explode(ranked).alias("cell")))
 
-    scored = (probes.join(cands, "cell")
+    # broadcast the (tiny) probe table so the scoring join streams the
+    # cell-keyed candidate corpus with full scan parallelism instead of
+    # shuffling it into k reduce tasks
+    scored = (F.broadcast(q).join(cands, "cell")
               .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)
                           + F.lit(0.0)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
@@ -237,20 +274,38 @@ def sub_k_for(n_vectors: int, coarse_k: int = K_CELLS,
     return max(1, math.ceil(n_vectors / (avg_cell_size * coarse_k)))
 
 
-def _nearest_sub(points: DataFrame, sub_cent: DataFrame) -> DataFrame:
+def _nearest_sub(points: DataFrame, sub_cent: DataFrame,
+                 broadcast_subs: bool = True) -> DataFrame:
     """points(vec_id, embedding, cell) × sub_cent(cell, sub, scvec) ->
     + sub of the nearest sub-centroid WITHIN the point's coarse cell.
-    The join key is the coarse cell (no broadcast of the fine
-    codebook); a coarse cell with no sub-codebook (no training-sample
-    members landed there) keeps its points in a single sub = -1 bucket
-    via the left join."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("sub"))
-    return (points.join(sub_cent, "cell", "left")
-            .withColumn("d2", _dist2(F.col("embedding"), F.col("scvec")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+    The join key is the coarse cell (the fine codebook is never keyed
+    on anything else); a coarse cell with no sub-codebook (no
+    training-sample members landed there) keeps its points in a single
+    sub = -1 bucket via the left join.
+
+    The per-cell sub-codebook is pre-aggregated to ONE row per coarse
+    cell (array<struct<sub,scvec>>), so the join attaches the cell's
+    candidates without the k2× row blowup, and the argmin is an in-row
+    ``array_min`` over struct(d2, sub) — identical ordering semantics
+    (d2 ASC, sub ASC; a missing sub-codebook yields NULL -> sub = -1,
+    exactly the old NULLS-FIRST left-join row) with no per-vec_id
+    window shuffle.  ``broadcast_subs=False`` (a fine codebook beyond
+    the broadcast budget, k1·k2 ~ 10^7+) drops the hint so the join
+    shuffles by cell exactly as before — k1 is large in that regime, so
+    cell-keyed parallelism is ample."""
+    sub_rows = sub_cent.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("sub", "scvec")))
+        .alias("__subs"))
+    if broadcast_subs:
+        sub_rows = F.broadcast(sub_rows)
+    best = F.array_min(F.transform(
+        F.col("__subs"),
+        lambda s: F.struct(
+            _dist2(F.col("embedding"), s["scvec"]).alias("d2"),
+            s["sub"].alias("sub"))))
+    return (points.join(sub_rows, "cell", "left")
             .select("vec_id", "embedding", "cell",
-                    F.coalesce(F.col("sub"), F.lit(-1)).alias("sub")))
+                    F.coalesce(best["sub"], F.lit(-1)).alias("sub")))
 
 
 def _recompute_sub(assigned: DataFrame) -> DataFrame:
@@ -283,9 +338,10 @@ def train_two_level(emb: DataFrame, sub_k: int,
             else train_centroids(emb, init_ids=init_ids, iters=iters,
                                  sample_mod=sample_mod,
                                  seed_by_hash=seed_by_hash, k=k))
+    from ..functions.fanout import fan_out
     e = _as_double(emb)
-    e_train = (e.filter(_train_sample_filter(sample_mod))
-               if sample_mod > 1 else e)
+    e_train = (fan_out(e.filter(_train_sample_filter(sample_mod)), "vec_id")
+               if sample_mod > 1 else fan_out(e, "vec_id"))
     assigned = _nearest_cell(e_train, cent).localCheckpoint()
     w_seed = Window.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
@@ -305,8 +361,11 @@ def assign_two_level(emb: DataFrame, cent: DataFrame,
                      sub_cent: DataFrame) -> DataFrame:
     """Full-corpus fine-cell assignment -> (vec_id, embedding, cell,
     sub): broadcast route to the coarse cell, then the keyed per-cell
-    refinement join."""
-    return _nearest_sub(_nearest_cell(_as_double(emb), cent), sub_cent)
+    refinement join.  The input fans out first: both assignment folds
+    are CPU-bound and must not ride a one-split scan."""
+    from ..functions.fanout import fan_out
+    return _nearest_sub(
+        _nearest_cell(fan_out(_as_double(emb), "vec_id"), cent), sub_cent)
 
 
 NPROBE_FINE = 10
@@ -340,11 +399,14 @@ def ivf_topk_two_level(emb: DataFrame, query_filter, candidate_filter,
         cent, sub_cent = train_two_level(emb, sub_k, iters=iters,
                                          sub_iters=sub_iters,
                                          sample_mod=sample_mod)
+    from ..functions.fanout import fan_out
     e = _as_double(emb)
 
-    # INDEX: fine-cell assignment of the candidate corpus
-    cands = (_nearest_sub(_nearest_cell(e.filter(candidate_filter), cent),
-                          sub_cent)
+    # INDEX: fine-cell assignment of the candidate corpus (fanned out —
+    # both argmin folds are CPU-bound)
+    cands = (_nearest_sub(
+                 _nearest_cell(fan_out(e.filter(candidate_filter),
+                                       "vec_id"), cent), sub_cent)
              .select(F.col("vec_id").alias("neighbor_id"),
                      F.col("embedding").alias("cv"), "cell", "sub"))
 
@@ -376,7 +438,9 @@ def ivf_topk_two_level(emb: DataFrame, query_filter, candidate_filter,
                    .filter(F.col("r") <= nprobe_fine)
                    .select("query_id", "qv", "cell", "sub"))
 
-    scored = (fine_probes.join(cands, ["cell", "sub"])
+    # broadcast the (tiny) probe table: the scoring join then streams
+    # the candidate corpus at scan parallelism (see ivf_topk)
+    scored = (F.broadcast(fine_probes).join(cands, ["cell", "sub"])
               .withColumn("cos",
                           F.round(cosine(F.col("qv"), F.col("cv")), 4)
                           + F.lit(0.0)))

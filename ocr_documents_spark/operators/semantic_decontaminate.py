@@ -60,6 +60,26 @@ def _rounded_cos(a, b):
     return F.round(cosine(a, b), 4) + F.lit(0.0)
 
 
+def _scored_hits(e, ev, threshold):
+    """corpus e × broadcast eval ev -> (vec_id, cos) rows >= threshold.
+
+    The corpus fans out (a one-split scan would serialize |corpus| x
+    |eval| cosines onto one core) and both sides carry their norm
+    computed ONCE — the pair expression is dot/(na*nb), the identical
+    fold and product ``cosine`` evaluates, so values cannot move while
+    ~2/3 of the per-pair flops disappear."""
+    from ..functions.fanout import fan_out
+    from ..functions.vectors import dot, norm
+    e = (fan_out(e, "vec_id")
+         .withColumn("__n", norm(F.col("embedding"))))
+    ev = ev.withColumn("__ne", norm(F.col("ev")))
+    cos = (F.round(dot(F.col("embedding"), F.col("ev"))
+                   / (F.col("__n") * F.col("__ne")), 4) + F.lit(0.0))
+    return (e.crossJoin(F.broadcast(ev))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold))
+
+
 def semantic_hit_ids(corpus_emb: DataFrame, eval_emb: DataFrame,
                      threshold: float = COS_THRESHOLD,
                      id_col: str = "vec_id",
@@ -73,10 +93,7 @@ def semantic_hit_ids(corpus_emb: DataFrame, eval_emb: DataFrame,
     e = _as_double(corpus_emb.select(F.col(id_col).alias("vec_id"),
                                      F.col(emb_col).alias("embedding")))
     ev = _eval_vectors(eval_emb, eval_id_col, emb_col)
-    return (e.crossJoin(F.broadcast(ev))
-            .withColumn("cos", _rounded_cos(F.col("embedding"),
-                                            F.col("ev")))
-            .filter(F.col("cos") >= threshold)
+    return (_scored_hits(e, ev, threshold)
             .select(F.col("vec_id").alias(id_col)))
 
 
@@ -95,10 +112,7 @@ def semantic_contamination_report(corpus_emb: DataFrame,
     e = _as_double(corpus_emb.select(F.col(id_col).alias("vec_id"),
                                      F.col(emb_col).alias("embedding")))
     ev = _eval_vectors(eval_emb, eval_id_col, emb_col)
-    return (e.crossJoin(F.broadcast(ev))
-            .withColumn("cos", _rounded_cos(F.col("embedding"),
-                                            F.col("ev")))
-            .filter(F.col("cos") >= threshold)
+    return (_scored_hits(e, ev, threshold)
             .groupBy("vec_id")
             .agg(F.count(F.lit(1)).alias("n_eval_hits"),
                  (F.max("cos") + F.lit(0.0)).alias("max_cos"))

@@ -54,7 +54,8 @@ def semantic_pair_candidates(emb: DataFrame,
     key is the cell — never all-pairs).  ``centroids`` reuses an
     already-trained codebook (e.g. the one the ANN index trained) instead
     of running Lloyd's again."""
-    e = _as_double(emb)
+    from ..functions.fanout import fan_out
+    e = fan_out(_as_double(emb), "vec_id")
     cent = (centroids if centroids is not None
             else train_centroids(emb, iters=iters, sample_mod=sample_mod))
     return _pairs_within(_nearest_cell(e, cent), ["cell"], threshold)
@@ -64,15 +65,39 @@ def _pairs_within(assigned: DataFrame, keys: list[str],
                   threshold: float) -> DataFrame:
     """Self-join on the cell key(s): -> (a_doc_id, b_doc_id) with
     rounded cosine >= threshold.  Shared by the flat (keys=[cell]) and
-    two-level (keys=[cell, sub]) paths."""
-    a = assigned.select(*keys, F.col("vec_id").alias("a_doc_id"),
-                        F.col("embedding").alias("av"))
-    b = assigned.select(*keys, F.col("vec_id").alias("b_doc_id"),
-                        F.col("embedding").alias("bv"))
-    return (a.join(b, keys)
+    two-level (keys=[cell, sub]) paths.
+
+    Two measured optimizations that cannot move a value:
+
+    * each vector's norm is computed ONCE before pairing and the pair
+      cosine is dot/(na*nb) — the identical expressions (same fold
+      order, same product), evaluated n times instead of once per pair,
+      so ~2/3 of the per-pair flops disappear;
+    * the pair join BROADCASTS one side and streams the other at scan
+      parallelism: the flat path's join key is k<=8 distinct cells, so
+      a shuffled join serializes the O(n^2/k) cosine work onto k reduce
+      tasks — the exact regime the flat operator is documented for
+      (small corpus / the two-level variant owns corpus growth), which
+      is also what keeps the broadcast side inside the budget.
+    """
+    from ..functions.vectors import norm
+    # checkpoint: the assignment DAG (training included) would otherwise
+    # re-execute once per self-join side
+    sized = (assigned
+             .withColumn("__n", norm(F.col("embedding")))
+             .localCheckpoint())
+    a = sized.select(*keys, F.col("vec_id").alias("a_doc_id"),
+                     F.col("embedding").alias("av"),
+                     F.col("__n").alias("na"))
+    b = sized.select(*keys, F.col("vec_id").alias("b_doc_id"),
+                     F.col("embedding").alias("bv"),
+                     F.col("__n").alias("nb"))
+    from ..functions.vectors import dot
+    return (a.join(F.broadcast(b), keys)
             .filter(F.col("a_doc_id") < F.col("b_doc_id"))
             .withColumn("cos",
-                        F.round(cosine(F.col("av"), F.col("bv")), 4) + 0.0)
+                        F.round(dot(F.col("av"), F.col("bv"))
+                                / (F.col("na") * F.col("nb")), 4) + 0.0)
             .filter(F.col("cos") >= threshold)
             .select("a_doc_id", "b_doc_id"))
 
