@@ -79,18 +79,42 @@ def _stacked_subs(e: DataFrame, m: int, width: int) -> DataFrame:
             for s in range(m)])).alias("sub", "embedding"))
 
 
+def _nearest_code(stacked: DataFrame, cb: DataFrame,
+                  keep: list[str]) -> DataFrame:
+    """stacked(..., sub, embedding) × cb(sub, code, cvec) -> ``keep``
+    columns + code of the nearest sub-centroid.  The per-subspace
+    codebook is pre-aggregated to one row per sub and the argmin is an
+    in-row ``array_min`` over struct(d2, code) — struct ordering IS the
+    previous row_number window's (d2 ASC, code ASC) tie-break with the
+    same rounded ``_dist2``, so assignments are value-identical while
+    the k× row blowup and the per-(vec_id, sub) window shuffle
+    disappear (the operators/ivf.py rewrite, applied per subspace)."""
+    sub_rows = cb.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec")))
+        .alias("__cbs"))
+    best = F.array_min(F.transform(
+        F.col("__cbs"),
+        lambda c: F.struct(
+            _dist2(F.col("embedding"), c["cvec"]).alias("d2"),
+            c["code"].alias("code"))))
+    return (stacked.join(F.broadcast(sub_rows), "sub")
+            .select(*keep, best["code"].alias("code")))
+
+
 def train_pq_codebooks(emb: DataFrame, m: int = M_SUBS,
                        iters: int = PQ_ITERS,
                        sample_mod: int = TRAIN_SAMPLE_MOD,
                        dim: int | None = None) -> DataFrame:
     """-> (sub, code, cvec): m independent sub-codebooks, trained as
     ONE grouped Lloyd's pipeline over the stacked (vec_id, sub,
-    sub-vector) table — assignment joins the broadcast m×k codebook,
-    recompute groups by (sub, code); iteration count and every rounding
-    rule match the ivf trainer exactly, so the per-subspace DuckDB twin
-    is unchanged.  Pass ``dim`` when known (callers of the DuckDB twin
-    already know it) to skip the one-row inference job."""
+    sub-vector) table — assignment folds the per-subspace codebook
+    in-row (:func:`_nearest_code`), recompute groups by (sub, code);
+    iteration count and every rounding rule match the ivf trainer
+    exactly, so the per-subspace DuckDB twin is unchanged.  Pass
+    ``dim`` when known (callers of the DuckDB twin already know it) to
+    skip the one-row inference job."""
     from .ivf import _train_sample_filter
+    from ..functions.fanout import fan_out
     e = _as_double(emb)
     width = _dim(emb, dim) // m
     stacked = _stacked_subs(e, m, width)
@@ -99,17 +123,13 @@ def train_pq_codebooks(emb: DataFrame, m: int = M_SUBS,
         "vec_id long, code int")
     cent = (stacked.join(F.broadcast(seed_map), "vec_id")
             .select("sub", "code", F.col("embedding").alias("cvec")))
-    train = (stacked.filter(_train_sample_filter(sample_mod))
-             if sample_mod > 1 else stacked).localCheckpoint()
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"),
-                                                    F.asc("code"))
+    train = fan_out(
+        stacked.filter(_train_sample_filter(sample_mod))
+        if sample_mod > 1 else stacked, "vec_id").localCheckpoint()
     for _ in range(iters):
-        assigned = (train.join(F.broadcast(cent), "sub")
-                    .withColumn("d2", _dist2(F.col("embedding"),
-                                             F.col("cvec")))
-                    .withColumn("r", F.row_number().over(w))
-                    .filter(F.col("r") == 1)
-                    .select("sub", "code", "embedding"))
+        assigned = _nearest_code(train, cent,
+                                 keep=["sub", "embedding"]) \
+            .select("sub", "code", "embedding")
         cent = (assigned
                 .select("sub", "code",
                         F.posexplode("embedding").alias("dim", "x"))
@@ -146,16 +166,11 @@ def encode_pq(emb: DataFrame, codebooks: DataFrame,
     storage layout a lake table would use, partitioned however the
     coarse quantizer dictates).  Nearest sub-centroid by rounded squared
     L2 with code tie-break — same rule as the ivf assignment."""
-    e = _as_double(emb)
+    from ..functions.fanout import fan_out
+    e = fan_out(_as_double(emb), "vec_id")
     width = _dim(emb, dim) // m
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"),
-                                                    F.asc("code"))
     stacked = _stacked_subs(e, m, width)
-    return (stacked.join(F.broadcast(codebooks), "sub")
-            .withColumn("d2", _dist2(F.col("embedding"), F.col("cvec")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "sub", "code"))
+    return _nearest_code(stacked, codebooks, keep=["vec_id", "sub"])
 
 
 def pq_adc_scores(emb: DataFrame, query_filter, candidate_filter,
@@ -181,7 +196,9 @@ def pq_adc_scores(emb: DataFrame, query_filter, candidate_filter,
     dtab = (q_subs.join(F.broadcast(cb), "sub")
             .select("query_id", "sub", "code",
                     _dist2(F.col("qv"), F.col("cvec")).alias("d2")))
-    return (codes.join(dtab, ["sub", "code"])
+    # dtab is queries x m x k rows — broadcast so the codes table
+    # streams at scan parallelism instead of shuffling on 64 keys
+    return (codes.join(F.broadcast(dtab), ["sub", "code"])
             .groupBy("query_id", "vec_id")
             .agg((F.round(F.sum("d2"), 4) + 0.0).alias("adc_d2")))
 
@@ -209,6 +226,10 @@ def pq_rerank_topk(emb: DataFrame, query_filter, candidate_filter,
         F.col("vec_id"), F.col("embedding").alias("cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("vec_id"))
+    # the shortlist (queries x shortlist rows) broadcasts; the raw-vector
+    # table is then streamed, never shuffled by vec_id
+    short = F.broadcast(short)
+    qv = F.broadcast(qv)
     return (short.join(qv, "query_id").join(cv, "vec_id")
             .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)
                         + 0.0)
@@ -335,17 +356,35 @@ def build_ivfpq_index(emb: DataFrame, candidate_filter=None,
     build-time half of IVF-PQ.  ``checkpoint`` materializes the codes
     table so every subsequent query reads it instead of replaying
     training (a persisted deployment uses :func:`save_ivfpq_index`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .ivf import _nearest_cell, train_centroids as train_coarse
+    from ..functions.fanout import fan_out
     dim = _dim(emb, dim)
     e = _as_double(emb)
-    coarse = train_coarse(emb, sample_mod=sample_mod)
-    cb = train_pq_codebooks(emb, m, iters, sample_mod, dim=dim)
+    # the two quantizer trainings are INDEPENDENT job chains (each runs
+    # its own Lloyd's actions via localCheckpoint) — submit them from a
+    # small thread pool so the second back-fills executors the first's
+    # stage tails leave idle (guide §2.6); wall ~= max, not sum
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(train_coarse, emb, sample_mod=sample_mod)
+        f_cb = pool.submit(train_pq_codebooks, emb, m, iters, sample_mod,
+                           dim)
+        coarse, cb = f_coarse.result(), f_cb.result()
     cands = (e.filter(candidate_filter)
              if candidate_filter is not None else e)
-    cand_cells = _nearest_cell(cands, coarse).select("vec_id", "cell")
-    codes = (encode_pq(cands, cb, m, dim=dim)
-             .join(cand_cells, "vec_id")
-             .select("vec_id", "cell", "sub", "code"))
+    # ONE encode pass: coarse cell assignment rides the same rows into
+    # the per-subspace code fold, so the former codes-join-cells shuffle
+    # on vec_id is gone (values identical — same folds, same inputs)
+    width = dim // m
+    with_cell = _nearest_cell(fan_out(cands, "vec_id"), coarse)
+    stacked = with_cell.select(
+        "vec_id", "cell",
+        F.posexplode(F.array(*[
+            F.slice("embedding", s * width + 1, width)
+            for s in range(m)])).alias("sub", "embedding"))
+    codes = _nearest_code(stacked, cb, keep=["vec_id", "cell", "sub"]) \
+        .select("vec_id", "cell", "sub", "code")
     if checkpoint:
         codes = codes.localCheckpoint()
     return IvfPqIndex(coarse, cb, codes, cands, dim, m, candidate_filter)
@@ -452,9 +491,12 @@ def ivfpq_query(index: IvfPqIndex, queries: DataFrame, k: int = 3,
     dtab = (q_subs.join(F.broadcast(index.codebooks), "sub")
             .select("query_id", "sub", "code",
                     _dist2(F.col("qv"), F.col("cvec")).alias("d2")))
-    probed_codes = index.codes.join(probes, "cell").select(
+    # probe table and per-query distance table are query-sized —
+    # broadcast both so the codes table streams at scan parallelism
+    probed_codes = index.codes.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", "sub", "code")
-    adc = (probed_codes.join(dtab, ["query_id", "sub", "code"])
+    adc = (probed_codes.join(F.broadcast(dtab),
+                             ["query_id", "sub", "code"])
            .groupBy("query_id", "vec_id")
            .agg((F.round(F.sum("d2"), 4) + 0.0).alias("adc_d2")))
 
@@ -466,7 +508,9 @@ def ivfpq_query(index: IvfPqIndex, queries: DataFrame, k: int = 3,
     cv = index.vectors.select("vec_id", F.col("embedding").alias("cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("vec_id"))
-    return (short.join(q, "query_id").join(cv, "vec_id")
+    # shortlist broadcasts; raw vectors stream, never shuffled by vec_id
+    short = F.broadcast(short)
+    return (short.join(F.broadcast(q), "query_id").join(cv, "vec_id")
             .withColumn("cos",
                         F.round(cosine(F.col("qfull"), F.col("cv")), 4)
                         + 0.0)
