@@ -152,7 +152,8 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
 
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
-               start_col: str, end_col: str, bin_width: int) -> DataFrame:
+               start_col: str, end_col: str, bin_width: int,
+               broadcast_intervals: bool = False) -> DataFrame:
     """Point-in-interval join WITHOUT a cross join: bucket the numeric
     axis into ``bin_width`` bins, replicate each interval into every bin
     it overlaps (explode of a native sequence), equi-join points to
@@ -160,8 +161,19 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     lives in exactly one bin, so no post-join dedup is needed; shuffle
     volume is |points| + |intervals| x (avg interval span / bin_width),
     versus |points| x |intervals| for the nested-loop plan Spark would
-    otherwise pick for a pure inequality condition.  Pick bin_width near
-    the typical interval length; column names must be disjoint.
+    otherwise pick for a pure inequality condition.  Column names must
+    be disjoint.
+
+    Candidate-pair count is |points| x |intervals| x (span + bin_width)
+    / axis_length: SMALLER bins mean fewer false candidates per point
+    at the cost of more interval replicas, so when the interval side is
+    dimension-sized pick bin_width BELOW the typical span (the replicas
+    are cheap there); only a fat interval side argues for bins near the
+    span.  ``broadcast_intervals=True`` (dimension-sized interval side)
+    broadcasts the exploded replicas so the point side is never
+    shuffled at all AND the join parallelism follows the point scan
+    instead of the bin-key cardinality (a coarse axis has few distinct
+    bins — a shuffled join would funnel into that many reduce tasks).
     """
     p = points.withColumn(
         "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long"))
@@ -169,6 +181,8 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
         "__bin", F.explode(F.sequence(
             F.floor(F.col(start_col) / F.lit(bin_width)).cast("long"),
             F.floor(F.col(end_col) / F.lit(bin_width)).cast("long"))))
+    if broadcast_intervals:
+        i = F.broadcast(i)
     return (p.join(i, on="__bin")
             .filter((F.col(point_col) >= F.col(start_col))
                     & (F.col(point_col) <= F.col(end_col)))
