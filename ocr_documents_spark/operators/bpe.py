@@ -67,7 +67,10 @@ def word_census(docs: DataFrame, text_col: str = "text",
     materialization); ties broken lexicographically so the cap is
     deterministic on any engine/partitioning.
     """
-    census = (docs
+    from ..functions.fanout import fan_out
+    # the per-row regex pretokenizer runs map-side — fan out a
+    # one-split scan (no-op on a well-split lake)
+    census = (fan_out(docs)
               .select(F.explode(F.regexp_extract_all(
                   text_col, F.lit(PRETOKEN_RE), 0)).alias("word"))
               .groupBy("word").agg(F.count(F.lit(1)).alias("n")))

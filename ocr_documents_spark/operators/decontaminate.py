@@ -42,7 +42,10 @@ BROADCAST_GRAM_LIMIT = 3_000_000
 
 def _doc_grams(docs: DataFrame, k: int, id_col: str,
                text_col: str) -> DataFrame:
-    return (docs
+    from ..functions.fanout import fan_out
+    # the split + k-gram build + per-row distinct run map-side before
+    # any exchange — fan out a one-split scan (no-op on a real lake)
+    return (fan_out(docs, id_col)
             .select(id_col, ws_words_col(text_col).alias("ws"))
             .filter(F.size("ws") >= k)
             .select(id_col,

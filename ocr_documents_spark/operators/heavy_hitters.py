@@ -112,7 +112,13 @@ def mg_partition_summaries(df: DataFrame, key_col: str,
             ignore_index=True)
         yield out
 
-    return df.select(key_col).mapInPandas(summarize, schema)
+    from ..functions.fanout import fan_out
+    # fan out a one-split scan so the per-partition sketches build in
+    # parallel; hashing on the key keeps each key's mass in ONE
+    # partition, which only tightens the MG estimate (per-partition
+    # counts are then exact for their keys before the merge)
+    return fan_out(df.select(key_col), key_col).mapInPandas(
+        summarize, schema)
 
 
 def _merged_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:

@@ -44,7 +44,8 @@ def _line_table(docs: DataFrame, id_col: str, text_col: str,
     """-> (id, pos, line, key_fp): one row per line, fingerprint of the
     trimmed line computed scan-side (NULL for ineligible lines so they
     can never join the boilerplate set)."""
-    return (docs
+    from ..functions.fanout import fan_out
+    return (fan_out(docs, id_col)
             .select(id_col,
                     F.posexplode_outer(
                         F.split(F.coalesce(text_col, F.lit("")), "\n"))

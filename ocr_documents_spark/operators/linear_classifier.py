@@ -73,10 +73,13 @@ def featurize(docs: DataFrame, d: int = D_BUCKETS,
     plus the bias bucket.  Dedup happens JVM-side (array_distinct) so
     the explode emits exactly the per-doc feature count — no distinct
     shuffle, no corpus-width exchange before aggregation."""
+    from ..functions.fanout import fan_out
     buckets = F.array_distinct(F.transform(
         ws_words_col(F.coalesce(F.col(text_col), F.lit(""))),
         lambda w: bucket_of(w, d)))
-    return (docs
+    # the split + per-word md5 bucketing run map-side before any
+    # exchange — fan out a one-split scan (no-op on a well-split lake)
+    return (fan_out(docs, id_col)
             .select(id_col,
                     F.explode(F.concat(
                         F.array(F.lit(BIAS).cast("long")), buckets))

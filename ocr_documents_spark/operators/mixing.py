@@ -139,7 +139,8 @@ def token_budget_sample(docs: DataFrame, budgets: dict[str, int],
     tok = (F.col(token_col) if token_col is not None
            else F.size(ws_words_col(
                F.coalesce(F.col(text_col), F.lit(""))))).cast("long")
-    base = (docs
+    from ..functions.fanout import fan_out
+    base = (fan_out(docs, id_col)
             .withColumn("__dom", F.col(domain_col))
             .withColumn("__u", _u_int(F.col(id_col), salt))
             .withColumn("__tok", tok)

@@ -63,7 +63,10 @@ def _doc_gram_fps(docs: DataFrame, n: int, id_col: str,
                   text_col: str) -> DataFrame:
     """-> (id_col, gram_fp), one row PER OCCURRENCE (LM counts need
     multiplicity, unlike decontamination's distinct grams)."""
-    return (docs
+    from ..functions.fanout import fan_out
+    # the split + gram build + per-gram md5 run map-side, before any
+    # exchange — fan out a one-split scan (no-op on a well-split lake)
+    return (fan_out(docs, id_col)
             .select(id_col, ws_words_col(text_col).alias("ws"))
             .select(id_col,
                     F.explode_outer(ngrams_over(F.col("ws"), n))
@@ -109,6 +112,9 @@ def perplexity_scores(docs: DataFrame, counts: DataFrame,
     4-decimal rounding is the q32-style integer half-up
     (floor((2a+b)/2b)) — ``round()`` on a double differs between
     engines exactly at half boundaries."""
+    # the counts DAG (its own explode + census) is consumed twice below
+    # (gram join + _lm_stats) — materialize once
+    counts = counts.localCheckpoint()
     grams = _doc_gram_fps(docs, n, id_col, text_col)
     per_doc = (grams
                .join(counts, "gram_fp", "left")
@@ -212,6 +218,10 @@ def dsir_weights(docs: DataFrame, target_counts: DataFrame,
     sum_g [ln p_target(g) - ln p_raw(g)] in EXACT integer micro-nats
     (bigint — safe to order by, hash, and compare across engines).
     Documents with no grams get NULL (nothing to featurize)."""
+    # each counts DAG is consumed twice (gram join + _lm_stats) —
+    # materialize once
+    target_counts = target_counts.localCheckpoint()
+    raw_counts = raw_counts.localCheckpoint()
     grams = _doc_gram_fps(docs, n, id_col, text_col)
     t = target_counts.select("gram_fp", F.col("cnt").alias("t_cnt"))
     r = raw_counts.select("gram_fp", F.col("cnt").alias("r_cnt"))

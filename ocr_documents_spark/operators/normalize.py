@@ -68,8 +68,11 @@ def nfc_normalize_docs(docs: DataFrame,
 
 
 def normalize_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Scrub control chars (native), then pin to NFC (Arrow UDF)."""
-    scrubbed = docs.withColumn(text_col, strip_control_chars(text_col))
+    """Scrub control chars (native), then pin to NFC (Arrow UDF).  Fans
+    out a one-split input scan first — both steps are per-row CPU."""
+    from ..functions.fanout import fan_out
+    scrubbed = fan_out(docs).withColumn(text_col,
+                                        strip_control_chars(text_col))
     return nfc_normalize_docs(scrubbed, text_col)
 
 

@@ -57,7 +57,8 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     and shift every slice boundary after a multi-line document."""
     if order_cols is None:
         order_cols = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    toks = (docs
+    from ..functions.fanout import fan_out
+    toks = (fan_out(docs, id_col)
             .select(id_col,
                     F.size(ws_words_col(text_col)).alias("n_tokens"))
             .filter(F.col("n_tokens") > 0))

@@ -193,6 +193,11 @@ def quality_filter_report(docs: DataFrame,
     rule + the overall keep decision.  Broadcast-free: three metric
     branches co-keyed on doc_id join back (same shuffle key throughout,
     AQE plans them as one exchange-reusing pipeline)."""
+    # all three branches do regex/HOF-heavy per-row work BEFORE their
+    # first exchange — fan out a one-split scan (no-op on a well-split
+    # lake), and share the fanned-out subtree across the branches
+    from ..functions.fanout import fan_out
+    docs = fan_out(docs, id_col)
     g = gopher_quality_metrics(docs, id_col, text_col)
     rep = line_repetition_metrics(docs, id_col, text_col)
     top2 = top_ngram_char_fraction(docs, 2, id_col, text_col)

@@ -132,7 +132,10 @@ def cap_per_host(df: DataFrame, url_col: str = "url",
     no site; route them to a quarantine filter if the pipeline wants
     them gone).  Returns the input columns + canonical_url/host/site."""
     from .rank import grouped_top_k
-    withc = with_canonical_urls(df, url_col)
+    from ..functions.fanout import fan_out
+    # the URL regex canonicalization runs map-side — fan out a
+    # one-split scan (no-op on a well-split lake)
+    withc = with_canonical_urls(fan_out(df, id_col), url_col)
     sited = withc.filter(F.col("site").isNotNull())
     sel = (sited.select(
         "site",

@@ -102,10 +102,15 @@ def test_approx_hot_keys_superset_and_no_wild_false_positives(spark, skewed):
 
 
 def test_summary_stage_shape(spark):
+    from ocr_documents_spark.functions.fanout import cpu_parts
+    # a WELL-SPLIT input (>= cluster parallelism, the lake-scale case):
+    # the conditional fan_out must no-op, leaving the corpus-scale
+    # stage scan -> project -> mapInPandas with NO exchange before the
+    # sketch shrinks the data.  (An under-split input instead gains ONE
+    # key-hashed repartition — pinned in tests/test_fanout.py.)
     df = spark.read.parquet(PARQ)
+    df = df.repartition(cpu_parts(df), "user_id").localCheckpoint()
     summaries = HH.mg_partition_summaries(df, "user_id", k=8)
-    # the corpus-scale stage is scan -> project -> mapInPandas: NO
-    # exchange before the sketch shrinks the data
     plan = summaries._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     # and its output is bounded by (k+1) rows per partition

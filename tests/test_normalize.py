@@ -80,8 +80,13 @@ def test_report(docs):
 
 
 def test_plan_shape(docs):
-    # scrub is codegen; NFC is the only python stage; no exchange at all
-    plan = (N.normalize_docs(docs)
+    from ocr_documents_spark.functions.fanout import cpu_parts
+    # a WELL-SPLIT input (the lake-scale case): the conditional fan_out
+    # must no-op — scrub is codegen, NFC is the only python stage, no
+    # exchange at all.  (Under-split inputs gain one fan-out exchange —
+    # pinned in tests/test_fanout.py.)
+    spread = docs.repartition(cpu_parts(docs)).localCheckpoint()
+    plan = (N.normalize_docs(spread)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
 
