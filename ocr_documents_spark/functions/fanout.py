@@ -37,6 +37,22 @@ def cpu_parts(df: DataFrame) -> int:
                int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
 
 
+def fan_in(df: DataFrame, factor: int = 2,
+           max_excess: int = 4) -> DataFrame:
+    """The dual fix: MERGE an over-split scan before a per-row Python
+    stage.  Every task pays a fixed Python-worker/Arrow-stream setup
+    cost (measured ~5ms), so a many-thousand-tiny-file scan feeding
+    mapInArrow spends more on task churn than on work (guide §2.2/§6:
+    fewer, larger map tasks; small files hurt twice).  ``coalesce`` (no
+    shuffle) to ``factor``x cluster parallelism, applied only when the
+    scan is more than ``max_excess``x over-split — on a sanely-split
+    input this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() > max_excess * target:
+        return df.coalesce(target)
+    return df
+
+
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread an under-partitioned input across the cluster before
     CPU-heavy per-row work.  No-op when the plan already yields at least
