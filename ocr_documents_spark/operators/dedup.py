@@ -204,11 +204,23 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
     assert n_hashes <= MAX_HASHES
     rows = n_hashes // bands
     sh = shingled_docs(docs, shingle_n)
+    def min_perm(j: int):
+        # fold-min instead of array_min(transform(...)): the transform
+        # materializes a fresh n-element array per hash function (16x
+        # allocation churn per doc); the fold computes the same minimum
+        # with zero allocation.  Identical value: every permuted hash is
+        # < HASH_P, so the HASH_P-1 init can never win, and xs is
+        # non-empty by the shingle filter (array_min's empty->NULL case
+        # is unreachable).
+        h = _perm_hash(j)
+        return F.aggregate("xs", F.lit(HASH_P - 1).cast("long"),
+                           lambda acc, x: F.least(acc, h(x)))
+
     sig = (sh.select("doc_id",
                      F.transform("shingles", _base_hash()).alias("xs"))
            .select("doc_id",
-                   *[F.array_min(F.transform("xs", _perm_hash(j)))
-                     .alias(f"h{j}") for j in range(n_hashes)]))
+                   *[min_perm(j).alias(f"h{j}")
+                     for j in range(n_hashes)]))
     band_cols = [
         F.md5(F.concat_ws(
             ":", *[F.col(f"h{k * rows + r}") for r in range(rows)]))
@@ -528,10 +540,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             converged = True
             labels = joined.select("src", "label")
             break
-        labels = (joined.select("src",
-                                F.least("label", F.coalesce("nmin", "label"))
-                                .alias("label"))
-                  .localCheckpoint())
+        # no checkpoint here: ``joined`` above is already materialized,
+        # so this projection's lineage is one step — re-deriving it per
+        # consumer in the next round is cheaper than another eager job
+        labels = joined.select("src",
+                               F.least("label", F.coalesce("nmin", "label"))
+                               .alias("label"))
     if telemetry is not None:
         telemetry.update(iterations=iterations, converged=converged,
                          last_changed=int(n_changed))

@@ -47,8 +47,11 @@ def redact_pii(text: Column) -> Column:
 
 def scrub_corpus(docs: DataFrame, text_col: str = "text",
                  out_col: str = "clean_text") -> DataFrame:
-    """Append ``out_col`` = the redacted text.  Pure per-row projection."""
-    return docs.withColumn(out_col, redact_pii(F.col(text_col)))
+    """Append ``out_col`` = the redacted text.  Pure per-row projection —
+    but the regexp chain is the curation job's most expensive one, so a
+    one-split input scan fans out first (no-op on a well-split lake)."""
+    from ..functions.fanout import fan_out
+    return fan_out(docs).withColumn(out_col, redact_pii(F.col(text_col)))
 
 
 def pii_census(docs: DataFrame, id_col: str = "doc_id",
