@@ -513,14 +513,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     ``{'iterations': n, 'converged': bool, 'last_changed': n_rows}`` so a
     deep-cluster corpus can never mislabel invisibly.
     """
-    # materialize the edge list FIRST: the symmetrizing union consumes it
-    # twice, and a caller-supplied edges DAG (e.g. the full verify pipeline)
-    # must not re-execute per branch
-    edges = edges.localCheckpoint()
-    sym = (edges.select(F.col("a_doc_id").alias("src"),
-                        F.col("b_doc_id").alias("dst"))
-           .unionAll(edges.select(F.col("b_doc_id").alias("src"),
-                                  F.col("a_doc_id").alias("dst"))))
+    # symmetrize by exploding each edge into both directions: ONE pass over
+    # the caller-supplied edges DAG (a union of two selects would consume —
+    # and without an extra eager checkpoint re-execute — it once per branch),
+    # so a single checkpoint materializes the full upstream pipeline
+    sym = (edges.select(F.explode(F.array(
+               F.struct(F.col("a_doc_id").alias("src"),
+                        F.col("b_doc_id").alias("dst")),
+               F.struct(F.col("b_doc_id").alias("src"),
+                        F.col("a_doc_id").alias("dst")))).alias("e"))
+           .select("e.src", "e.dst"))
     sym = sym.localCheckpoint()
     labels = (sym.select("src").distinct()
               .withColumn("label", F.col("src"))
