@@ -145,18 +145,12 @@ ENHANCED_RULES: dict[str, tuple[list[str], list[str], list[str], float, float]] 
     ),
 }
 
-# Pre-compiled view: type -> (mandatory, exclusions, strong[], weak[], weight, req).
-# The mandatory/exclusion gates are pure booleans (any-of), so each list
-# compiles to ONE alternation — "(?:p1)|(?:p2)|..." matches iff some p_i
-# matches (regex union; patterns are unanchored with self-contained
-# groups) — trading k searches + a genexpr per gate for a single C-level
-# search.  strong/weak stay per-pattern: their MATCH COUNTS feed the score.
+# Pre-compiled view: type -> (mandatory[], exclusions[], strong[], weak[], weight, req)
 _ENH_COMPILED = [
     (
         dt,
-        re.compile("|".join(f"(?:{p})" for p in mand), _I),
-        (re.compile("|".join(f"(?:{p})" for p in ENHANCED_EXCLUSIONS[dt]), _I)
-         if ENHANCED_EXCLUSIONS.get(dt) else None),
+        [re.compile(p, _I) for p in mand],
+        [re.compile(p, _I) for p in ENHANCED_EXCLUSIONS.get(dt, [])],
         [re.compile(p, _I) for p in strong],
         [re.compile(p, _I) for p in weak],
         weight,
@@ -173,10 +167,10 @@ def classify_enhanced(text: Optional[str]) -> Tuple[str, float]:
 
     scores: dict[str, float] = {}
     for dt, mandatory, exclusions, strong, weak, weight, required in _ENH_COMPILED:
-        if mandatory.search(text) is None:
+        if not any(p.search(text) for p in mandatory):
             scores[dt] = 0.0
             continue
-        if exclusions is not None and exclusions.search(text) is not None:
+        if any(p.search(text) for p in exclusions):
             scores[dt] = 0.0
             continue
         n_strong = sum(1 for p in strong if p.search(text))
