@@ -19,6 +19,9 @@ union branch): 2000/2000 on both plans, census unchanged
 (completed=1534 partial=284 rejected_classification=120
 rejected_quality=62); widened to 5000/5000 on both plans with the
 round-2 census (3837/716/295/152) reproduced exactly.
+Re-run end of round 6, after the media-decode tweak (utf-8 decode
+before json parse + itemgetter sort key): 5000/5000 on both plans,
+census (3837/716/295/152) reproduced exactly.
 """
 
 from __future__ import annotations
